@@ -1,0 +1,25 @@
+"""de-i2i-gan-tpu: a TPU-native (JAX/XLA/Pallas/pjit) image-to-image GAN framework.
+
+A ground-up rebuild of the capabilities of jason2714/de-i2i-gan (DefectGAN,
+MAE-GAN pretraining, WGAN, ViT embedding extraction, StarGAN v2 + SEAN) as an
+idiomatic TPU framework:
+
+- NHWC tensors, bfloat16 compute / float32 params
+- functional networks (flax.linen) with explicit state for spectral-norm power
+  iteration, BatchNorm running statistics and SEAN per-label running styles
+- a single jitted alternating G/D train step (separate TTUR optimizers, EMA)
+- `jax.sharding.Mesh` + data-parallel sharding for multi-chip scale
+- Pallas kernels for the bandwidth-bound fused norm/modulation ops
+
+Reference layout map (file:line cites in docstrings point into /root/reference):
+    defectGAN/models/networks/*      -> de_i2i_gan_tpu.nn, de_i2i_gan_tpu.models
+    defectGAN/models/*_model.py      -> de_i2i_gan_tpu.losses, de_i2i_gan_tpu.models
+    defectGAN/trainers/*             -> de_i2i_gan_tpu.train
+    defectGAN/options/*              -> de_i2i_gan_tpu.config
+    defectGAN/datasets|loaders/*     -> de_i2i_gan_tpu.data
+    defectGAN/metrics/*              -> de_i2i_gan_tpu.metrics
+    defectGAN/utils/*                -> de_i2i_gan_tpu.utils
+    stargan-v2/core/*                -> de_i2i_gan_tpu.models.starganv2, train.solver
+"""
+
+__version__ = "0.1.0"

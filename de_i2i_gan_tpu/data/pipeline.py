@@ -1,0 +1,147 @@
+"""Input pipeline: threaded prefetching loaders.
+
+Replaces the reference's torch DataLoader with 4 worker processes
+(/root/reference/defectGAN/train_defectgan.py:75-77) and its restart-on-
+exhaustion iterator (loaders/infinite_loader.py:4-20).
+
+Design for TPU feeding (the BASELINE.json north star requires the input
+pipeline never stalls the device):
+  * a thread pool decodes/augments ahead into a bounded queue (double
+    buffering at the batch level)
+  * batches are contiguous NHWC numpy arrays, ready for a single H2D transfer
+  * ``DualStreamLoader`` packages the defect + infinite background streams
+    into the (num_critics, B, ...) super-batches consumed by
+    DefectGanSteps.super_step, so one host->device hand-off covers
+    num_critics reference iterations
+  * an optional C++ native core (de_i2i_gan_tpu.runtime) accelerates file IO
+    and raw-tensor augmentation; this module is the portable fallback.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples):
+    imgs = np.stack([s[0] for s in samples])
+    labels = np.stack([s[1] for s in samples])
+    paths = [s[2] for s in samples]
+    return imgs, labels, paths
+
+
+class DataLoader:
+    """Shuffling, prefetching batch loader over a map-style dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 123,
+                 num_samples: Optional[int] = None, prefetch: int = 4,
+                 num_threads: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_samples = num_samples
+        self.prefetch = prefetch
+        self.num_threads = num_threads
+        self._epoch = 0
+
+    def __len__(self):
+        n = self.num_samples or len(self.dataset)
+        n = min(n, len(self.dataset)) if not self.num_samples else n
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.num_samples is not None:
+            reps = max(1, -(-self.num_samples // n))
+            idx = np.concatenate([idx] * reps)[:self.num_samples]
+        return idx
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        self._epoch += 1
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    out_q.put(_collate([self.dataset[int(i)] for i in chunk]))
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class InfiniteLoader:
+    """Auto-restarting iterator (loaders/infinite_loader.py)."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)
+
+
+class DualStreamLoader:
+    """Defects + infinite background -> super-batches for super_step.
+
+    Yields dict with leaves shaped (num_critics, B, ...): every D sub-step
+    gets a fresh defect and background batch, matching the reference schedule
+    (defectgan_trainer.py:96-109 consumes one defect batch per iteration).
+    """
+
+    def __init__(self, defect_loader: DataLoader, background_loader: DataLoader,
+                 num_critics: int):
+        self.defects = defect_loader
+        self.background = InfiniteLoader(background_loader)
+        self.num_critics = num_critics
+
+    def __len__(self):
+        return len(self.defects) // self.num_critics
+
+    def __iter__(self):
+        it = iter(self.defects)
+        while True:
+            dfs, bgs, lbls = [], [], []
+            try:
+                for _ in range(self.num_critics):
+                    df_img, df_lbl, _ = next(it)
+                    bg_img, _, _ = next(self.background)
+                    dfs.append(df_img)
+                    bgs.append(bg_img[:df_img.shape[0]])
+                    lbls.append(df_lbl)
+            except StopIteration:
+                return
+            yield {"df": np.stack(dfs), "bg": np.stack(bgs),
+                   "df_labels": np.stack(lbls)}

@@ -1,0 +1,208 @@
+"""Primitive layers: conv / dense with optional spectral normalization.
+
+TPU-first conventions:
+  * images are NHWC (XLA's preferred conv layout on TPU; the reference is NCHW
+    torch, /root/reference/defectGAN/models/networks/architecture.py)
+  * parameters live in float32; compute dtype is configurable (bfloat16 on
+    TPU), accumulation is float32 via ``preferred_element_type``
+  * spectral normalization keeps its power-iteration vectors in the
+    ``spectral`` variable collection as explicit functional state rather than
+    torch's forward-hook mutation (torch.nn.utils.spectral_norm used at
+    architecture.py:68-71,109-112,338-341)
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+PaddingLike = Union[int, str, Tuple[int, int]]
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def _resolve_padding(padding: PaddingLike, kernel_size: Tuple[int, int],
+                     strides: Tuple[int, int]) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """torch-compatible padding resolution.
+
+    'same'  -> total = k-1 split (left = total//2, right = total-left); torch
+               only allows this for stride 1 and we assert the same.
+    int/pair-> symmetric.
+    'valid' -> zero padding.
+    """
+    kh, kw = kernel_size
+    if padding == "same":
+        assert strides == (1, 1), "'same' padding requires stride 1 (torch semantics)"
+        th, tw = kh - 1, kw - 1
+        return ((th // 2, th - th // 2), (tw // 2, tw - tw // 2))
+    if padding == "valid":
+        return ((0, 0), (0, 0))
+    ph, pw = _pair(padding)
+    return ((ph, ph), (pw, pw))
+
+
+def pad_image(x: jax.Array, pads: Tuple[Tuple[int, int], Tuple[int, int]],
+              mode: str) -> jax.Array:
+    """Pad NHWC image on H and W. mode: 'zeros' | 'reflect' | 'replicate'."""
+    (pt, pb), (pl, pr) = pads
+    if pt == pb == pl == pr == 0:
+        return x
+    cfg = ((0, 0), (pt, pb), (pl, pr), (0, 0))
+    if mode == "zeros":
+        return jnp.pad(x, cfg)
+    if mode == "reflect":
+        return jnp.pad(x, cfg, mode="reflect")
+    if mode == "replicate":
+        return jnp.pad(x, cfg, mode="edge")
+    raise ValueError(f"unknown padding mode {mode}")
+
+
+def spectral_normalize(module: nn.Module, name: str, kernel: jax.Array,
+                       update: bool, eps: float = 1e-12) -> jax.Array:
+    """Spectral normalization with explicit power-iteration state.
+
+    Mirrors torch.nn.utils.spectral_norm semantics (one power iteration per
+    training-mode forward; u/v persisted; gradient blocked through u, v): the
+    kernel (kh, kw, cin, cout) is viewed as a (cout, kh*kw*cin) matrix.
+    """
+    mat = kernel.reshape(-1, kernel.shape[-1]).T  # (cout, d)
+    cout, d = mat.shape
+
+    def _init_u(key):
+        v = jax.random.normal(key, (cout,), jnp.float32)
+        return v / (jnp.linalg.norm(v) + eps)
+
+    def _init_v(key):
+        v = jax.random.normal(key, (d,), jnp.float32)
+        return v / (jnp.linalg.norm(v) + eps)
+
+    u_var = module.variable("spectral", f"{name}_u", _init_u,
+                            module.make_rng("params") if module.is_initializing() else None)
+    v_var = module.variable("spectral", f"{name}_v", _init_v,
+                            module.make_rng("params") if module.is_initializing() else None)
+
+    u, v = u_var.value, v_var.value
+    if update:
+        m = jax.lax.stop_gradient(mat.astype(jnp.float32))
+        v = m.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = m @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+        u_var.value, v_var.value = u, v
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (mat.astype(jnp.float32) @ v)
+    return kernel / sigma.astype(kernel.dtype)
+
+
+class Conv2d(nn.Module):
+    """2-D convolution with torch-compatible padding and optional spectral norm.
+
+    Replaces the nn.Conv2d usages inside ConvBlock/DeConvBlock/etc
+    (/root/reference/defectGAN/models/networks/architecture.py:51-56,95-100).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: PaddingLike = 0
+    padding_mode: str = "zeros"
+    use_bias: bool = False
+    use_spectral: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.normal(stddev=0.02)
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        ks = _pair(self.kernel_size)
+        st = _pair(self.strides)
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (*ks, cin, self.features),
+                            jnp.float32)
+        if self.use_spectral:
+            kernel = spectral_normalize(self, "kernel", kernel, update=update_sn)
+
+        pads = _resolve_padding(self.padding, ks, st)
+        x = pad_image(x, pads, self.padding_mode)
+
+        # no explicit preferred_element_type: the TPU MXU accumulates bf16
+        # convolutions in float32 natively, and jax's conv transpose rejects
+        # mixed cotangent dtypes when it is set (breaks jax.grad)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=st,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with optional spectral norm (torch nn.Linear equivalent)."""
+
+    features: int
+    use_bias: bool = True
+    use_spectral: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.normal(stddev=0.02)
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features),
+                            jnp.float32)
+        if self.use_spectral:
+            kernel = spectral_normalize(self, "kernel", kernel, update=update_sn)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return y.astype(self.dtype)
+
+
+def upsample_nearest(x: jax.Array, scale: int = 2) -> jax.Array:
+    """2x nearest-neighbour upsample, NHWC (torch nn.Upsample(scale_factor=2))."""
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x
+
+
+def avg_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
+    """NHWC average pooling (torch nn.AvgPool2d)."""
+    y = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return y / (window * window)
+
+
+def max_pool(x: jax.Array, window: int = 3, stride: int = 2,
+             padding: int = 1) -> jax.Array:
+    """NHWC max pooling (torch nn.MaxPool2d)."""
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+                    constant_values=-jnp.inf)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def adaptive_avg_pool(x: jax.Array) -> jax.Array:
+    """Global average pool to (N, C) (torch nn.AdaptiveAvgPool2d(1))."""
+    return jnp.mean(x, axis=(1, 2))

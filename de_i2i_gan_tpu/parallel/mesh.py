@@ -1,0 +1,80 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process nn.DataParallel
+(/root/reference/stargan-v2/core/model.py:695-704) and an unused --gpu_ids
+flag on the defectGAN side (options/base_options.py:163-175). Here multi-chip
+scale is native:
+
+  * a 1-D ``data`` mesh over all chips (ICI); batch dimension sharded, every
+    parameter/optimizer/EMA pytree replicated
+  * the alternating G/D step is jitted with NamedSharding constraints; GSPMD
+    inserts the gradient all-reduces (and makes BatchNorm statistics *global*
+    across chips — stronger than DataParallel's per-replica stats)
+  * a ``spatial`` mesh axis is available for sharding H of very large
+    (>=1024^2) inference batches across chips (SURVEY.md §2.3's
+    sequence-parallel analog)
+
+Multi-host would extend the same mesh over jax.distributed processes; no
+NCCL/MPI-style backend code exists or is needed.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
+    """1-D data mesh (optionally n_data x spatial 2-D) over the first
+    ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if spatial > 1:
+        assert n_devices % spatial == 0
+        return Mesh(devices.reshape(n_devices // spatial, spatial),
+                    ("data", "spatial"))
+    return Mesh(devices, ("data",))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch with the batch axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True):
+    """Wrap a (state, batch, rng) -> (state, metrics) step for the mesh:
+    state/rng replicated, batch sharded on the leading axis. GSPMD handles the
+    per-network gradient all-reduce over ICI."""
+    repl = replicate(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def spatial_sharded_inference(apply_fn, mesh: Mesh):
+    """Jit an inference fn (variables, images, labels) -> images with the
+    image H dimension sharded over the 'spatial' mesh axis (for >=1024^2
+    batched folder inference; BASELINE.json config #5). Halo exchanges for the
+    convolutions are inserted by GSPMD."""
+    repl = replicate(mesh)
+    img_sh = NamedSharding(mesh, P("data", "spatial"))
+    return jax.jit(apply_fn,
+                   in_shardings=(repl, img_sh, repl),
+                   out_shardings=img_sh)

@@ -1,0 +1,181 @@
+"""Epoch-driven trainers.
+
+Mirrors the reference trainer surface (trainers/defectgan_trainer.py:19-188,
+trainers/base_trainer.py:12-131, trainers/mae_trainer.py, wgan_trainer.py):
+epoch loop, per-iteration alternating updates, running-mean postfix logging,
+'latest' checkpoints + iter.txt every save_latest_freq, epoch checkpoints +
+validation metrics, TensorBoard scalars and image grids.
+
+TPU-first: the inner loop advances ``num_critics`` iterations per device
+launch via DefectGanSteps.super_step; host work (logging, checkpointing) never
+blocks the device queue except at the async fetch of metrics.
+"""
+from __future__ import annotations
+
+import math
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from de_i2i_gan_tpu.config import DefectGanConfig, MAEConfig, TrainConfig
+from de_i2i_gan_tpu.data.pipeline import DualStreamLoader
+from de_i2i_gan_tpu.nn.normalization import sean_update_stats
+from de_i2i_gan_tpu.train.checkpoint import (
+    latest_exists, load_checkpoint, read_iter_record, save_checkpoint)
+from de_i2i_gan_tpu.train.state import GANTrainState, NetState
+from de_i2i_gan_tpu.train.steps import DefectGanSteps
+
+
+class TBWriter:
+    """Thin TensorBoard wrapper (SummaryWriter if available, else no-op)."""
+
+    def __init__(self, log_dir: Optional[Path]):
+        self._w = None
+        if log_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._w = SummaryWriter(str(log_dir))
+            except Exception:
+                pass
+
+    def scalar(self, tag, value, step):
+        if self._w:
+            self._w.add_scalar(tag, float(value), step)
+
+    def scalars(self, tag, d, step):
+        if self._w:
+            self._w.add_scalars(tag, {k: float(v) for k, v in d.items()}, step)
+
+    def image(self, tag, img_hwc, step):
+        if self._w:
+            self._w.add_image(tag, np.asarray(img_hwc), step,
+                              dataformats="HWC")
+
+    def close(self):
+        if self._w:
+            self._w.close()
+
+
+class DefectGanTrainer:
+    def __init__(self, cfg: DefectGanConfig, tcfg: TrainConfig, *,
+                 name: str = "exp", ckpt_dir: Path = Path("./ckpt"),
+                 log_dir: Optional[Path] = Path("./logs"),
+                 iters_per_epoch: int = 1000, num_epochs: int = -1,
+                 continue_training: bool = False,
+                 load_model_name: Optional[str] = None,
+                 which_epoch: str = "latest",
+                 save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
+                 save_img_freq: int = 4, seed: int = 123):
+        self.cfg, self.tcfg = cfg, tcfg
+        self.name = name
+        self.ckpt_dir = Path(ckpt_dir)
+        self.log_dir = Path(log_dir) / name if log_dir else None
+        self.save_latest_freq = save_latest_freq
+        self.save_ckpt_freq = save_ckpt_freq
+        self.save_img_freq = save_img_freq
+
+        # epoch/iteration reconciliation (base_trainer.py:45-47)
+        if num_epochs == -1:
+            num_epochs = math.ceil(tcfg.num_iters / max(iters_per_epoch, 1))
+        self.num_epochs = num_epochs
+        self.iters_per_epoch = iters_per_epoch
+
+        self.steps = DefectGanSteps(cfg, tcfg, iters_per_epoch, num_epochs)
+        self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self.first_epoch, self.iters = 1, 0
+        if continue_training and latest_exists(self.ckpt_dir, name):
+            self.state = load_checkpoint(self.ckpt_dir, name, "latest",
+                                         self.state)
+            self.first_epoch, self.iters = read_iter_record(self.ckpt_dir, name)
+        elif load_model_name is not None:
+            # cross-variant warm start (e.g. from MAE pretraining)
+            self.state = load_checkpoint(self.ckpt_dir, load_model_name,
+                                         which_epoch, self.state, strict=False)
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    # ------------------------------------------------------------------ train
+    def train(self, train_loader: DualStreamLoader, val_fn=None,
+              progress: bool = True):
+        writer = TBWriter(self.log_dir)
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            tqdm = None
+        nc = self.tcfg.num_critics
+        for epoch in range(self.first_epoch, self.num_epochs + 1):
+            sums, counts = defaultdict(float), defaultdict(int)
+            it = iter(train_loader)
+            bar = tqdm(it, total=len(train_loader), colour="MAGENTA",
+                       desc=f"Epoch [{epoch}/{self.num_epochs}]") \
+                if (progress and tqdm) else it
+            for super_batch in bar:
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics = self.steps.jit_super_step(
+                    self.state, super_batch, key)
+                self.iters += nc
+                for k, v in metrics.items():
+                    sums[k] += float(v)
+                    counts[k] += 1
+                if progress and tqdm:
+                    bar.set_postfix({k: f"{sums[k] / counts[k]:.4f}"
+                                     for k in ("gan_D", "gan_G", "rec")
+                                     if counts.get(k)})
+                if self.iters % self.save_latest_freq < nc:
+                    save_checkpoint(self.ckpt_dir, self.name, "latest",
+                                    self.state, epoch=epoch, iters=self.iters)
+            # per-epoch bookkeeping
+            means = {k: sums[k] / max(counts[k], 1) for k in sums}
+            writer.scalars("Losses/gan",
+                           {k: v for k, v in means.items() if "gan" in k},
+                           epoch)
+            writer.scalars("Losses/aux",
+                           {k: v for k, v in means.items() if "gan" not in k},
+                           epoch)
+            if epoch % self.save_ckpt_freq == 0:
+                save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
+                                epoch=epoch, iters=self.iters)
+                if val_fn is not None:
+                    for k, v in (val_fn(self.state, epoch) or {}).items():
+                        writer.scalar(f"Metrics/{k}", v, epoch)
+            self._update_per_epoch(epoch)
+        writer.close()
+        return self.state
+
+    def _update_per_epoch(self, epoch: int):
+        """SEAN per-epoch running-stat finalization
+        (generator.py:277-284,308-311). LR schedules are already pure
+        functions of the step count."""
+        cfg = self.cfg
+        if cfg.style_norm_block_type == "sean" and cfg.use_running_stats:
+            g_state = dict(self.state.G.state)
+            if "sean_stats" in g_state:
+                g_state["sean_stats"] = sean_update_stats(
+                    jax.tree_util.tree_map(np.asarray,
+                                           g_state["sean_stats"]))
+                self.state = self.state.replace(
+                    G=self.state.G.replace(state=g_state))
+
+    # -------------------------------------------------------------- sampling
+    def generate_grid(self, bg_images: jax.Array, labels: jax.Array,
+                      img_only: bool = False):
+        """Per-background translation panels (defectgan_model.py:316-344):
+        returns (n_bg, n_labels, H, W, 3) generated images plus probability
+        maps for heat-map rendering on the host."""
+        n_bg = bg_images.shape[0]
+        n_lbl = labels.shape[0]
+        rep_imgs = jnp.repeat(bg_images, n_lbl, axis=0)
+        rep_lbls = jnp.tile(labels, (n_bg, 1))
+        feat = None
+        if self.cfg.style_norm_block_type == "sean":
+            feat = jnp.zeros((rep_imgs.shape[0], self.cfg.num_embeds,
+                              self.cfg.embed_nc), jnp.float32)
+        out, prob = self.steps.jit_generate(self.state, rep_imgs, rep_lbls,
+                                            feat)
+        out = out.reshape(n_bg, n_lbl, *out.shape[1:])
+        prob = prob.reshape(n_bg, n_lbl, *prob.shape[1:])
+        return out, prob

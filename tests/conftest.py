@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+This is the fake-backend strategy the reference lacks (SURVEY.md §4): all
+multi-device sharding semantics are validated on CPU via
+``--xla_force_host_platform_device_count`` without TPU hardware.
+
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env pins 'axon' (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# persistent compilation cache: recompiling identical test programs dominates
+# wall time on small hosts
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/de_i2i_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(123)

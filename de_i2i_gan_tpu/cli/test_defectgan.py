@@ -1,0 +1,140 @@
+"""DefectGAN test / inference entry point (reference:
+defectGAN/test_defectgan.py:119-268).
+
+Supports the reference's test modes:
+  --metrics fid is lpips   quantitative eval vs --npz_path statistics
+  --save_img_grid          per-background label-grid panels with spatial-
+                           probability heat maps
+  --save_img               plain translated images
+  --cal_clf                discriminator classifier accuracy on real data
+  --save_stats             per-class Inception activations -> .npy (mFID prep)
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _save_image(arr, path: Path):
+    from PIL import Image
+    arr = np.asarray(arr)
+    arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def heatmap(prob: np.ndarray) -> np.ndarray:
+    """JET-style colormap of a (H, W) probability map -> (H, W, 3) in [-1,1]
+    (the reference uses cv2.applyColorMap(COLORMAP_JET),
+    defectgan_model.py:336-338)."""
+    p = np.clip(prob, 0, 1)
+    r = np.clip(1.5 - np.abs(4 * p - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * p - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * p - 1), 0, 1)
+    return np.stack([r, g, b], axis=-1) * 2.0 - 1.0
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    from de_i2i_gan_tpu.config.options import (
+        Options, to_defectgan_config, to_train_config)
+    from de_i2i_gan_tpu.cli.train_defectgan import build_datasets
+    from de_i2i_gan_tpu.data.pipeline import DataLoader, InfiniteLoader
+    from de_i2i_gan_tpu.data.transforms import EvalTransform
+    from de_i2i_gan_tpu.train.checkpoint import load_checkpoint
+    from de_i2i_gan_tpu.train.steps import DefectGanSteps
+
+    opt = Options("defectgan_test").parse(argv)
+    cfg = to_defectgan_config(opt)
+    datasets, clf_loss_type = build_datasets(
+        opt, "test", EvalTransform(opt.image_size))
+    tcfg = to_train_config(opt, clf_loss_type)
+
+    steps = DefectGanSteps(cfg, tcfg)
+    state = steps.init_state(jax.random.PRNGKey(opt.seed))
+    name = opt.load_model_name or opt.name
+    state = load_checkpoint(opt.ckpt_dir, name, opt.which_epoch, state,
+                            strict=False)
+
+    df_loader = DataLoader(datasets["defects"], opt.batch_size, seed=opt.seed)
+    bg_loader = InfiniteLoader(DataLoader(datasets["background"],
+                                          opt.batch_size, seed=opt.seed + 1))
+    results_dir = Path(opt.results_dir) / name
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    def generate(bg_imgs, labels):
+        feat = None
+        if cfg.style_norm_block_type == "sean":
+            feat = jnp.zeros((bg_imgs.shape[0], cfg.num_embeds, cfg.embed_nc))
+        out, _ = steps.jit_generate(state, bg_imgs, labels, feat)
+        return out
+
+    if opt.metrics:
+        from de_i2i_gan_tpu.metrics.evaluator import Evaluator
+        ev = Evaluator(dims=opt.dims)
+        out = ev.evaluate_generator(
+            generate, bg_loader, df_loader, num_imgs=opt.num_imgs,
+            npz_path=Path(opt.npz_path) if opt.npz_path else None,
+            metrics=tuple(opt.metrics),
+            num_lpips_images=opt.num_lpips_images)
+        print({k: round(v, 4) for k, v in out.items()})
+
+    if opt.save_img_grid or opt.save_img:
+        labels = jnp.eye(cfg.label_nc)[1:]
+        bg_imgs, _, _ = next(iter(bg_loader))
+        bg_imgs = jnp.asarray(bg_imgs[:opt.num_display_images])
+        feat = None
+        if cfg.style_norm_block_type == "sean":
+            n = bg_imgs.shape[0] * labels.shape[0]
+            feat = jnp.zeros((n, cfg.num_embeds, cfg.embed_nc))
+        rep = jnp.repeat(bg_imgs, labels.shape[0], axis=0)
+        rep_l = jnp.tile(labels, (bg_imgs.shape[0], 1))
+        out, prob = steps.jit_generate(state, rep, rep_l, feat)
+        out = np.asarray(out).reshape(bg_imgs.shape[0], labels.shape[0],
+                                      *out.shape[1:])
+        prob = np.asarray(prob).reshape(bg_imgs.shape[0], labels.shape[0],
+                                        *prob.shape[1:])
+        for i in range(out.shape[0]):
+            panels = [np.asarray(bg_imgs[i])]
+            for j in range(out.shape[1]):
+                panels.append(out[i, j])
+                if opt.save_img_grid:
+                    panels.append(heatmap(prob[i, j, :, :, 0]))
+            _save_image(np.concatenate(panels, axis=1),
+                        results_dir / f"grid_{i}.png")
+        print(f"wrote {out.shape[0]} grids to {results_dir}")
+
+    if opt.cal_clf:
+        from de_i2i_gan_tpu.losses.common import cal_loss
+        correct = total = 0
+        d_apply = jax.jit(lambda v, x: steps.D.apply(v, x, train=False))
+        for imgs, labels, _ in df_loader:
+            _, cls = d_apply({"params": state.D.params, **state.D.state},
+                             jnp.asarray(imgs))
+            if clf_loss_type == "bce":
+                pred = np.asarray(cls) > 0
+                correct += (pred == (np.asarray(labels) > 0.5)).all(1).sum()
+            else:
+                correct += (np.asarray(cls).argmax(1) ==
+                            np.asarray(labels).argmax(1)).sum()
+            total += imgs.shape[0]
+        print(f"classifier accuracy: {correct / max(total, 1):.4f}")
+
+    if opt.save_stats:
+        from de_i2i_gan_tpu.metrics.evaluator import Evaluator
+        ev = Evaluator(dims=opt.dims)
+        acts: dict = {}
+        for imgs, labels, _ in df_loader:
+            feats = np.asarray(ev._features(jnp.asarray(imgs)))
+            for f, l in zip(feats, np.asarray(labels)):
+                key = "-".join(str(i) for i, v in enumerate(l) if v == 1)
+                acts.setdefault(key, []).append(f)
+        for key, feats in acts.items():
+            np.save(results_dir / f"stats_{key}.npy", np.stack(feats))
+        print(f"wrote per-class stats for {len(acts)} classes")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

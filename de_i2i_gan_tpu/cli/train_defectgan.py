@@ -1,0 +1,73 @@
+"""DefectGAN training entry point.
+
+Usage mirrors the reference (/root/reference/defectGAN/train_defectgan.py):
+
+    python -m de_i2i_gan_tpu.cli.train_defectgan \
+        --name exp --data_dir ./data --dataset_name codebrim \
+        --image_size 128 --batch_size 4 --style_norm_block_type spade
+
+Wiring (train_defectgan.py:49-117): train transforms (resize 1.5x ->
+random-resized-crop -> flips -> color jitter -> normalize), dual-stream
+{defects, background} loaders with the background stream infinite,
+iters_per_epoch from the defect loader, trainer dispatch.
+`--dataset_name synthetic` trains on the procedural dataset (no files).
+"""
+from __future__ import annotations
+
+import sys
+
+
+def build_datasets(opt, phase: str, transform):
+    from de_i2i_gan_tpu.data.datasets import find_dataset_using_name
+    cls = find_dataset_using_name(opt.dataset_name)
+    kw = {}
+    if opt.dataset_name == "synthetic":
+        return {
+            dt: cls(image_size=opt.image_size, label_nc=opt.label_nc,
+                    length=512 if phase == "train" else 64, data_type=dt,
+                    seed=opt.seed)
+            for dt in ("defects", "background")
+        }, "bce"
+    if opt.dataset_name in ("mtvec", "mvtec"):
+        kw["dataset_data_type"] = opt.dataset_data_type
+    datasets = {
+        dt: cls(opt.data_dir, opt.dataset_name, phase, dt,
+                transform=transform, seed=opt.seed, **kw)
+        for dt in ("defects", "background")
+    }
+    return datasets, cls.clf_loss_type
+
+
+def main(argv=None):
+    from de_i2i_gan_tpu.config.options import (
+        Options, to_defectgan_config, to_train_config)
+    from de_i2i_gan_tpu.data.pipeline import DataLoader, DualStreamLoader
+    from de_i2i_gan_tpu.data.transforms import TrainTransform
+    from de_i2i_gan_tpu.train.trainer import DefectGanTrainer
+
+    opt = Options("defectgan_train").parse(argv)
+    transform = TrainTransform(opt.image_size)
+    datasets, clf_loss_type = build_datasets(opt, "train", transform)
+    cfg = to_defectgan_config(opt)
+    tcfg = to_train_config(opt, clf_loss_type)
+
+    df_loader = DataLoader(datasets["defects"], opt.batch_size, seed=opt.seed)
+    bg_loader = DataLoader(datasets["background"], opt.batch_size,
+                           seed=opt.seed + 1)
+    loader = DualStreamLoader(df_loader, bg_loader, tcfg.num_critics)
+    print(f"{len(datasets['defects'])} defect / "
+          f"{len(datasets['background'])} background train images")
+
+    trainer = DefectGanTrainer(
+        cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
+        iters_per_epoch=len(df_loader), num_epochs=opt.num_epochs,
+        continue_training=opt.continue_training,
+        load_model_name=opt.load_model_name, which_epoch=opt.which_epoch,
+        save_latest_freq=opt.save_latest_freq,
+        save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
+        seed=opt.seed)
+    trainer.train(loader)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,42 @@
+"""WGAN training entry point (reference: defectGAN/train_wgan.py).
+
+    python -m de_i2i_gan_tpu.cli.train_wgan --name wgan_exp \
+        --dataset_name synthetic --image_size 64 --batch_size 128
+"""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    from de_i2i_gan_tpu.config.options import (
+        Options, to_train_config, to_wgan_config)
+    from de_i2i_gan_tpu.data.datasets import find_dataset_using_name
+    from de_i2i_gan_tpu.data.pipeline import DataLoader, SuperBatchLoader
+    from de_i2i_gan_tpu.data.transforms import TrainTransform
+    from de_i2i_gan_tpu.train.trainer import WGanTrainer
+
+    opt = Options("wgan_train").parse(argv)
+    cls = find_dataset_using_name(opt.dataset_name)
+    if opt.dataset_name == "synthetic":
+        dataset = cls(image_size=opt.image_size, label_nc=1, length=1024,
+                      data_type="background", seed=opt.seed)
+    else:
+        dataset = cls(opt.data_dir, opt.dataset_name, "train",
+                      transform=TrainTransform(opt.image_size), seed=opt.seed)
+    cfg = to_wgan_config(opt)
+    tcfg = to_train_config(opt)
+    base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
+    loader = SuperBatchLoader(base_loader, cfg.num_critics)
+    trainer = WGanTrainer(cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir,
+                          log_dir=opt.log_dir,
+                          iters_per_epoch=len(base_loader),
+                          num_epochs=opt.num_epochs,
+                          continue_training=opt.continue_training,
+                          save_latest_freq=opt.save_latest_freq,
+                          save_ckpt_freq=opt.save_ckpt_freq, seed=opt.seed)
+    trainer.train(loader)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

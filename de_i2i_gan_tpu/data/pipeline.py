@@ -113,6 +113,33 @@ class InfiniteLoader:
             return next(self._it)
 
 
+class SuperBatchLoader:
+    """Single-stream super-batches {'imgs', 'labels'} with leading
+    (num_critics,) axis — the MAE / WGAN feeding shape."""
+
+    def __init__(self, loader: DataLoader, num_critics: int,
+                 key: str = "imgs"):
+        self.loader = loader
+        self.num_critics = num_critics
+        self.key = key
+
+    def __len__(self):
+        return len(self.loader) // self.num_critics
+
+    def __iter__(self):
+        it = iter(self.loader)
+        while True:
+            imgs, labels = [], []
+            try:
+                for _ in range(self.num_critics):
+                    im, lb, _ = next(it)
+                    imgs.append(im)
+                    labels.append(lb)
+            except StopIteration:
+                return
+            yield {self.key: np.stack(imgs), "labels": np.stack(labels)}
+
+
 class DualStreamLoader:
     """Defects + infinite background -> super-batches for super_step.
 

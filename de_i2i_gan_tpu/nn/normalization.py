@@ -116,11 +116,10 @@ class AdaIN(nn.Module):
         n = x.shape[0]
         assert style_feat.shape == (n, self.hidden_nc), (
             f"style feature must be (N, {self.hidden_nc}), got {style_feat.shape}")
-        normalized = instance_norm(x)
         gamma = Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(style_feat)
         beta = Dense(self.norm_nc, dtype=self.dtype, name="mlp_beta")(style_feat)
-        out = normalized * (1.0 + gamma[:, None, None, :]) + beta[:, None, None, :]
-        return out.astype(x.dtype)
+        from de_i2i_gan_tpu.ops.fused import modulated_instance_norm
+        return modulated_instance_norm(x, gamma, beta)
 
 
 def sean_label_index(labels: jax.Array) -> jax.Array:
@@ -168,8 +167,6 @@ class SEAN(nn.Module):
         c = x.shape[-1]
         assert c == self.norm_nc
         num_combos = 2 ** self.label_nc
-
-        normalized = instance_norm(x)
 
         if labels.ndim == 4:
             labels = labels.reshape(n, -1)
@@ -232,8 +229,8 @@ class SEAN(nn.Module):
 
         gamma = Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(mix_feat)
         beta = Dense(self.norm_nc, dtype=self.dtype, name="mlp_beta")(mix_feat)
-        out = normalized * (1.0 + gamma[:, None, None, :]) + beta[:, None, None, :]
-        return out.astype(x.dtype)
+        from de_i2i_gan_tpu.ops.fused import modulated_instance_norm
+        return modulated_instance_norm(x, gamma, beta)
 
 
 def sean_update_stats(sean_stats, eps: float = 1e-5):

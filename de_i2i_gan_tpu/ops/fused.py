@@ -1,0 +1,46 @@
+"""Fused-op dispatch: Pallas kernels on TPU, XLA composition elsewhere.
+
+Every fused op here has an exact XLA reference implementation used (a) as the
+fallback on unsupported shapes/platforms and (b) as the oracle in kernel
+tests (interpret mode on CPU).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from de_i2i_gan_tpu.ops.pallas.norm_kernels import (
+    fits_vmem, pallas_modulated_instance_norm)
+
+
+def _xla_modulated_instance_norm(x, gamma, beta, act, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + gamma.astype(jnp.float32))[:, None, None, :] + \
+        beta.astype(jnp.float32)[:, None, None, :]
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0, y, 0.2 * y)
+    elif act is not None:
+        raise ValueError(act)
+    return y.astype(x.dtype)
+
+
+def modulated_instance_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                            act: Optional[str] = None, eps: float = 1e-5,
+                            use_pallas: bool = True) -> jax.Array:
+    """instance_norm(x) * (1 + gamma) + beta (+ act); x NHWC, gamma/beta (N, C).
+
+    The fused form of the SEAN/AdaIN denormalization
+    (normalization.py:196-200, 62-71) and the activation that follows it in
+    NormConvBlock/NormResBlock (architecture.py:244, 347-348).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas and on_tpu and fits_vmem(x.shape):
+        return pallas_modulated_instance_norm(x, gamma, beta, act, eps)
+    return _xla_modulated_instance_norm(x, gamma, beta, act, eps)

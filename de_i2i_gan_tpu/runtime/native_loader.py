@@ -1,0 +1,167 @@
+"""ctypes bindings + cache builder for the C++ data-loading runtime
+(runtime/dataloader.cc).
+
+Flow:
+  1. ``build_cache(dataset, cache_dir)`` decodes every image ONCE (PIL on the
+     host) into a flat uint8 HWC cache + binary index. Sources larger than
+     ``max_side`` are pre-shrunk (the reference resizes to 1.5x crop size
+     anyway, train_defectgan.py:58).
+  2. ``NativeDataLoader`` drives the .so: N C++ threads mmap the cache and
+     stream augmented float32 NHWC batches; Python only does one memcpy into
+     a reusable numpy buffer per batch.
+
+The .so compiles on first use (g++ -O3 -march=native); everything degrades
+gracefully to the pure-Python pipeline when a toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import struct
+import subprocess
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "dataloader.cc"
+_SO = Path(__file__).parent / "libdig_loader.so"
+_MAGIC = 0xD16D16D1
+
+
+def _compile() -> bool:
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", str(_SO), str(_SRC), "-lpthread"],
+            check=True, capture_output=True, text=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"[native_loader] compile failed: {getattr(e, 'stderr', e)}")
+        return False
+
+
+def native_available() -> bool:
+    return _compile()
+
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is None:
+        assert _compile(), "native loader unavailable"
+        _lib = ctypes.CDLL(str(_SO))
+        _lib.dl_create.restype = ctypes.c_void_p
+        _lib.dl_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_uint64, ctypes.c_int]
+        _lib.dl_next.restype = ctypes.c_int
+        _lib.dl_next.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_float),
+                                 ctypes.POINTER(ctypes.c_float)]
+        _lib.dl_label_nc.restype = ctypes.c_int
+        _lib.dl_label_nc.argtypes = [ctypes.c_void_p]
+        _lib.dl_n_items.restype = ctypes.c_uint
+        _lib.dl_n_items.argtypes = [ctypes.c_void_p]
+        _lib.dl_destroy.argtypes = [ctypes.c_void_p]
+    return _lib
+
+
+def build_cache(dataset, cache_dir: Path, max_side: Optional[int] = None,
+                channels: int = 3) -> Tuple[Path, Path]:
+    """Decode a map-style dataset (items: (img_or_array, label, path)) into
+    the raw cache. Dataset items may be PIL images, uint8 or float arrays."""
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    cache_path = cache_dir / "images.u8"
+    index_path = cache_dir / "index.bin"
+    if cache_path.exists() and index_path.exists():
+        return cache_path, index_path
+
+    entries = []
+    with cache_path.open("wb") as f:
+        offset = 0
+        for i in range(len(dataset)):
+            img, label, _ = dataset[i]
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                # float in [-1,1] or [0,1]
+                a = arr.astype(np.float32)
+                if a.min() < -0.01:
+                    a = (a + 1.0) / 2.0
+                arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+            if arr.ndim == 2:
+                arr = np.repeat(arr[..., None], channels, axis=2)
+            if max_side and max(arr.shape[:2]) > max_side:
+                from PIL import Image
+                im = Image.fromarray(arr)
+                scale = max_side / max(arr.shape[:2])
+                im = im.resize((max(1, round(im.width * scale)),
+                                max(1, round(im.height * scale))))
+                arr = np.asarray(im)
+            h, w = arr.shape[:2]
+            data = np.ascontiguousarray(arr[:, :, :channels]).tobytes()
+            f.write(data)
+            entries.append((offset, h, w, np.asarray(label, np.float32)))
+            offset += len(data)
+
+    label_nc = len(entries[0][3])
+    with index_path.open("wb") as f:
+        f.write(struct.pack("<IIII", _MAGIC, len(entries), label_nc,
+                            channels))
+        for offset, h, w, label in entries:
+            f.write(struct.pack("<Qii", offset, h, w))
+            f.write(label.tobytes())
+    return cache_path, index_path
+
+
+class NativeDataLoader:
+    """Infinite augmented-batch stream backed by the C++ runtime."""
+
+    def __init__(self, cache_path: Path, index_path: Path, image_size: int,
+                 batch_size: int, num_threads: int = 2, seed: int = 123,
+                 augment: bool = True, channels: int = 3):
+        lib = _load_lib()
+        self._lib = lib
+        self._handle = lib.dl_create(
+            str(cache_path).encode(), str(index_path).encode(),
+            image_size, batch_size, num_threads, seed, int(augment))
+        if not self._handle:
+            raise RuntimeError("failed to open native loader cache")
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.channels = channels
+        self.label_nc = lib.dl_label_nc(self._handle)
+        self.n_items = lib.dl_n_items(self._handle)
+        self._img_buf = np.empty(
+            (batch_size, image_size, image_size, channels), np.float32)
+        self._lbl_buf = np.empty((batch_size, self.label_nc), np.float32)
+
+    def __len__(self):
+        return max(1, self.n_items // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        rc = self._lib.dl_next(
+            self._handle,
+            self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._lbl_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise StopIteration
+        return self._img_buf.copy(), self._lbl_buf.copy(), []
+
+    def close(self):
+        if self._handle:
+            self._lib.dl_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,374 @@
+"""StarGAN v2 solver: configs, losses and jitted train steps.
+
+Mirrors /root/reference/stargan-v2/core/solver.py:
+  * per-net Adam (betas 0/0.99, weight decay 1e-4; f_lr for the mapping
+    network; solver.py:48-56, main.py defaults)
+  * D loss = BCE(real->1) + BCE(fake->0) + lambda_reg * R1 (solver.py:467-491)
+    — R1 is jax.grad-of-grad here, no create_graph bookkeeping
+  * G loss = adv + lambda_sty * style-recon - lambda_ds * diversity +
+    lambda_cyc * cycle (solver.py:494-546)
+  * adain mode runs a latent-guided and a reference-guided pass per iteration
+    (solver.py:266-298); sean mode runs reference-only
+  * EMA of G (and mapping/style encoder for adain) with beta 0.999
+    (solver.py:549-563); SEAN running stats finalize each iteration
+  * lambda_ds decays linearly to 0 over ds_iter iterations (solver.py:311-313)
+    — computed from the step counter, not mutated state
+
+Style codes (core/utils.py:485-516 get_style_code):
+  adain + latent  -> mapping_network(z, y)
+  adain + ref     -> style_encoder(x_ref, y)
+  sean  + ref     -> frozen-ViT CLS embeddings of the reference images,
+                     supplied in the batch (precomputed or via
+                     models.vit.FeatureExtractor — keeps the frozen net out of
+                     the differentiated graph entirely)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from de_i2i_gan_tpu.losses.common import bce_logits, l1
+from de_i2i_gan_tpu.models.starganv2 import (
+    Generator, MappingNetwork, StarGANv2Discriminator, StyleEncoder,
+    sean_v2_update_stats)
+from de_i2i_gan_tpu.train.optim import ema_update
+from de_i2i_gan_tpu.train.state import NetState
+from de_i2i_gan_tpu.utils.diffaug import diff_augment
+
+import flax.struct
+
+
+@dataclasses.dataclass(frozen=True)
+class StarGANv2Config:
+    """main.py:150-267 defaults."""
+
+    img_size: int = 256
+    num_domains: int = 2
+    latent_dim: int = 16
+    hidden_nc: int = 256
+    style_dim: int = 64
+    embed_nc: int = 768
+    norm_type: str = "adain"  # adain | sean
+    w_hpf: float = 1.0
+    max_conv_dim: int = 512
+    lambda_reg: float = 1.0
+    lambda_cyc: float = 1.0
+    lambda_sty: float = 1.0
+    lambda_ds: float = 1.0
+    ds_iter: int = 100_000
+    total_iters: int = 100_000
+    batch_size: int = 8
+    lr: float = 1e-4
+    f_lr: float = 1e-6
+    beta1: float = 0.0
+    beta2: float = 0.99
+    weight_decay: float = 1e-4
+    num_embeds: int = 5
+    diff_aug: str = ""
+    ema_beta: float = 0.999
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@flax.struct.dataclass
+class SolverState:
+    G: NetState
+    D: NetState
+    M: Optional[NetState]  # mapping network (adain)
+    S: Optional[NetState]  # style encoder (adain)
+    ema_G: Any
+    ema_M: Any
+    ema_S: Any
+    ema_sean_stats: Any
+    step: jnp.ndarray
+
+
+class StarGANv2Solver:
+    def __init__(self, cfg: StarGANv2Config):
+        self.cfg = cfg
+        adain = cfg.norm_type == "adain"
+        self.G = Generator(cfg.img_size, cfg.style_dim, cfg.max_conv_dim,
+                           cfg.w_hpf, cfg.norm_type, cfg.embed_nc,
+                           cfg.num_domains, cfg.hidden_nc, dtype=cfg.dtype)
+        self.D = StarGANv2Discriminator(cfg.img_size, cfg.num_domains,
+                                        cfg.max_conv_dim, dtype=cfg.dtype)
+        self.M = MappingNetwork(cfg.latent_dim, cfg.style_dim,
+                                cfg.num_domains, dtype=cfg.dtype) if adain \
+            else None
+        self.S = StyleEncoder(cfg.img_size, cfg.style_dim, cfg.num_domains,
+                              cfg.max_conv_dim, dtype=cfg.dtype) if adain \
+            else None
+
+        def adamw(lr):
+            return optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
+                               weight_decay=cfg.weight_decay)
+
+        self.tx_G = adamw(cfg.lr)
+        self.tx_D = adamw(cfg.lr)
+        self.tx_M = adamw(cfg.f_lr) if adain else None
+        self.tx_S = adamw(cfg.lr) if adain else None
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, rng: jax.Array) -> SolverState:
+        cfg = self.cfg
+        b = 2
+        img = jnp.zeros((b, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        y = jnp.zeros((b,), jnp.int32)
+        k_g, k_d, k_m, k_s = jax.random.split(rng, 4)
+        s = self._dummy_style(b)
+
+        g_vars = self.G.init({"params": k_g}, img, s, labels=y)
+        g_state = {k: v for k, v in g_vars.items() if k != "params"}
+        d_vars = self.D.init({"params": k_d}, img, y)
+
+        m_net = s_net = None
+        ema_m = ema_s = None
+        if self.M is not None:
+            z = jnp.zeros((b, cfg.latent_dim), jnp.float32)
+            m_vars = self.M.init({"params": k_m}, z, y)
+            m_net = NetState(m_vars["params"], {},
+                             self.tx_M.init(m_vars["params"]))
+            ema_m = jax.tree_util.tree_map(jnp.copy, m_vars["params"])
+            s_vars = self.S.init({"params": k_s}, img, y)
+            s_net = NetState(s_vars["params"], {},
+                             self.tx_S.init(s_vars["params"]))
+            ema_s = jax.tree_util.tree_map(jnp.copy, s_vars["params"])
+
+        ema_sean = (jax.tree_util.tree_map(jnp.copy,
+                                           g_state.get("sean_stats"))
+                    if "sean_stats" in g_state else None)
+        return SolverState(
+            G=NetState(g_vars["params"], g_state,
+                       self.tx_G.init(g_vars["params"])),
+            D=NetState(d_vars["params"], {}, self.tx_D.init(d_vars["params"])),
+            M=m_net, S=s_net,
+            ema_G=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
+            ema_M=ema_m, ema_S=ema_s, ema_sean_stats=ema_sean,
+            step=jnp.zeros((), jnp.int32))
+
+    def _dummy_style(self, b: int):
+        cfg = self.cfg
+        if cfg.norm_type == "adain":
+            return jnp.zeros((b, cfg.style_dim), jnp.float32)
+        return jnp.zeros((b, cfg.num_embeds, cfg.embed_nc), jnp.float32)
+
+    # --------------------------------------------------------------- helpers
+    def _gen(self, g_params, g_state, x, s, y, masks=None, *,
+             track_stats=False, **kw):
+        variables = {"params": g_params, **g_state}
+        mutable = ["sean_stats"] if track_stats else []
+        out, mut = self.G.apply(variables, x, s, masks=masks, labels=y,
+                                track_stats=track_stats, mutable=mutable, **kw)
+        return out, {**g_state, **mut}
+
+    def _style(self, state: SolverState, batch, y_trg, *, which: str,
+               latent: bool):
+        """get_style_code (utils.py:485-516)."""
+        if self.cfg.norm_type == "adain":
+            if latent:
+                return self.M.apply({"params": state.M.params},
+                                    batch[f"z_{which}"], y_trg)
+            return self.S.apply({"params": state.S.params},
+                                batch[f"x_{which}"], y_trg)
+        return batch[f"s_{which}"]  # precomputed frozen-ViT embeddings
+
+    def _lambda_ds(self, step):
+        cfg = self.cfg
+        return jnp.maximum(
+            0.0, cfg.lambda_ds * (1.0 - step / max(cfg.ds_iter, 1)))
+
+    # ---------------------------------------------------------------- D loss
+    def d_loss_fn(self, d_params, state: SolverState, batch, rng,
+                  latent: bool):
+        cfg = self.cfg
+        x_real, y_org, y_trg = batch["x_src"], batch["y_src"], batch["y_ref"]
+        masks = batch.get("masks")
+        k1, k2 = jax.random.split(rng)
+        x_real_aug = diff_augment(k1, x_real, cfg.diff_aug)
+
+        def d_real_sum(x):
+            return self.D.apply({"params": d_params}, x, y_org).sum()
+
+        out_real = self.D.apply({"params": d_params}, x_real_aug, y_org)
+        loss_real = bce_logits(out_real, jnp.ones_like(out_real))
+        # R1 zero-centered gradient penalty (solver.py:573-583)
+        grad = jax.grad(d_real_sum)(x_real_aug)
+        loss_reg = 0.5 * jnp.mean(
+            jnp.sum(jnp.square(grad.astype(jnp.float32)),
+                    axis=(1, 2, 3)))
+
+        s_trg = self._style(state, batch, y_trg, which="ref", latent=latent)
+        s_trg = jax.lax.stop_gradient(s_trg)
+        x_fake, _ = self._gen(state.G.params, state.G.state, x_real, s_trg,
+                              y_trg, masks)
+        x_fake = jax.lax.stop_gradient(x_fake)
+        x_fake = diff_augment(k2, x_fake, cfg.diff_aug)
+        out_fake = self.D.apply({"params": d_params}, x_fake, y_trg)
+        loss_fake = bce_logits(out_fake, jnp.zeros_like(out_fake))
+
+        loss = loss_real + loss_fake + cfg.lambda_reg * loss_reg
+        return loss, {"real": loss_real, "fake": loss_fake, "reg": loss_reg}
+
+    # ---------------------------------------------------------------- G loss
+    def g_loss_fn(self, gms_params, state: SolverState, batch, rng,
+                  latent: bool):
+        cfg = self.cfg
+        g_params, m_params, s_params = gms_params
+        x_real, y_org, y_trg = batch["x_src"], batch["y_src"], batch["y_ref"]
+        masks = batch.get("masks")
+        adain = cfg.norm_type == "adain"
+
+        def style(which, use_latent, x_override=None):
+            if adain:
+                if use_latent:
+                    return self.M.apply({"params": m_params},
+                                        batch[f"z_{which}"], y_trg)
+                x = batch[f"x_{which}"] if x_override is None else x_override
+                return self.S.apply({"params": s_params}, x, y_trg)
+            return batch[f"s_{which}"]
+
+        track = (not latent) and (cfg.norm_type == "sean")
+        s_trg = style("ref", latent)
+        x_fake, g_state = self._gen(g_params, state.G.state, x_real, s_trg,
+                                    y_trg, masks, track_stats=track)
+        k_aug, _ = jax.random.split(rng)
+        out = self.D.apply({"params": state.D.params},
+                           diff_augment(k_aug, x_fake, cfg.diff_aug), y_trg)
+        loss_adv = bce_logits(out, jnp.ones_like(out))
+
+        # style reconstruction (solver.py:515-517)
+        if adain:
+            s_pred = self.S.apply({"params": s_params}, x_fake, y_trg)
+            loss_sty = l1(s_pred, s_trg)
+        else:
+            # sean: reconstruction in embedding space needs the frozen ViT on
+            # x_fake; supplied by the host loop when available
+            s_pred = batch.get("s_fake_pred")
+            loss_sty = l1(s_pred, s_trg) if s_pred is not None else jnp.zeros(())
+
+        # diversity-sensitive loss (solver.py:519-527)
+        s_trg2 = style("ref2", latent)
+        x_fake2, g_state = self._gen(g_params, g_state, x_real, s_trg2, y_trg,
+                                     masks, track_stats=track)
+        loss_ds = l1(x_fake, jax.lax.stop_gradient(x_fake2))
+
+        # cycle consistency (solver.py:529-533)
+        s_org = style("src", False, x_override=x_real) if adain \
+            else batch["s_src"]
+        x_rec, g_state = self._gen(g_params, g_state, x_fake, s_org, y_org,
+                                   batch.get("masks_fake", masks))
+        loss_cyc = l1(x_rec, x_real)
+
+        loss = (loss_adv + cfg.lambda_sty * loss_sty -
+                self._lambda_ds(state.step) * loss_ds +
+                cfg.lambda_cyc * loss_cyc)
+        return loss, (g_state, {"adv": loss_adv, "sty": loss_sty,
+                                "ds": loss_ds, "cyc": loss_cyc})
+
+    # ----------------------------------------------------------------- steps
+    def d_step(self, state: SolverState, batch, rng, latent: bool):
+        (_, metrics), grads = jax.value_and_grad(
+            self.d_loss_fn, has_aux=True)(state.D.params, state, batch, rng,
+                                          latent)
+        updates, opt = self.tx_D.update(grads, state.D.opt_state,
+                                        state.D.params)
+        return state.replace(D=NetState(
+            optax.apply_updates(state.D.params, updates), {}, opt)), metrics
+
+    def g_step(self, state: SolverState, batch, rng, latent: bool):
+        adain = self.cfg.norm_type == "adain"
+        m_params = state.M.params if adain else None
+        s_params = state.S.params if adain else None
+        (_, (g_state, metrics)), grads = jax.value_and_grad(
+            self.g_loss_fn, has_aux=True)(
+            (state.G.params, m_params, s_params), state, batch, rng, latent)
+        g_grads, m_grads, s_grads = grads
+
+        updates, g_opt = self.tx_G.update(g_grads, state.G.opt_state,
+                                          state.G.params)
+        g_params = optax.apply_updates(state.G.params, updates)
+        new_m, new_s = state.M, state.S
+        if adain and latent:
+            # latent pass also updates mapping network + style encoder
+            # (solver.py:283-289); reference pass updates G only (:291-298)
+            mu, m_opt = self.tx_M.update(m_grads, state.M.opt_state,
+                                         state.M.params)
+            new_m = NetState(optax.apply_updates(state.M.params, mu), {},
+                             m_opt)
+            su, s_opt = self.tx_S.update(s_grads, state.S.opt_state,
+                                         state.S.params)
+            new_s = NetState(optax.apply_updates(state.S.params, su), {},
+                             s_opt)
+        return state.replace(G=NetState(g_params, g_state, g_opt),
+                             M=new_m, S=new_s), metrics
+
+    def train_step(self, state: SolverState, batch, rng):
+        """One reference iteration (solver.py:258-313): adain = latent D + ref
+        D + latent G + ref G; sean = ref D + ref G. Then EMA + stat EMA."""
+        cfg = self.cfg
+        adain = cfg.norm_type == "adain"
+        metrics = {}
+        keys = jax.random.split(rng, 4)
+        if adain:
+            state, m = self.d_step(state, batch, keys[0], latent=True)
+            metrics.update({f"D/latent_{k}": v for k, v in m.items()})
+        state, m = self.d_step(state, batch, keys[1], latent=False)
+        metrics.update({f"D/ref_{k}": v for k, v in m.items()})
+        if adain:
+            state, m = self.g_step(state, batch, keys[2], latent=True)
+            metrics.update({f"G/latent_{k}": v for k, v in m.items()})
+        state, m = self.g_step(state, batch, keys[3], latent=False)
+        metrics.update({f"G/ref_{k}": v for k, v in m.items()})
+
+        # EMA (solver.py:549-563). NB the reference lerps
+        # torch.lerp(param, param_test, beta) -> ema = p + beta (ema - p)
+        beta = cfg.ema_beta
+        ema_g = ema_update(state.ema_G, state.G.params, beta)
+        ema_m = ema_s = None
+        if adain:
+            ema_m = ema_update(state.ema_M, state.M.params, beta)
+            ema_s = ema_update(state.ema_S, state.S.params, beta)
+        ema_sean = state.ema_sean_stats
+        if ema_sean is not None and "sean_stats" in state.G.state:
+            ema_sean = jax.tree_util.tree_map(
+                lambda e, p: e + (1 - beta) * (p - e),
+                ema_sean, state.G.state["sean_stats"])
+        state = state.replace(ema_G=ema_g, ema_M=ema_m, ema_S=ema_s,
+                              ema_sean_stats=ema_sean, step=state.step + 1)
+        metrics["G/lambda_ds"] = self._lambda_ds(state.step)
+        return state, metrics
+
+    def update_sean_stats(self, state: SolverState) -> SolverState:
+        """Host-side per-iteration stat finalization (solver.py:552)."""
+        if "sean_stats" not in state.G.state:
+            return state
+        g_state = dict(state.G.state)
+        g_state["sean_stats"] = sean_v2_update_stats(g_state["sean_stats"])
+        return state.replace(G=state.G.replace(state=g_state))
+
+    # ------------------------------------------------------------- sampling
+    def generate(self, state: SolverState, x, s, y, masks=None,
+                 use_ema: bool = True, **kw):
+        params = state.ema_G if use_ema else state.G.params
+        g_state = dict(state.G.state)
+        if use_ema and state.ema_sean_stats is not None:
+            g_state["sean_stats"] = state.ema_sean_stats
+        out, _ = self._gen(params, g_state, x, s, y, masks, **kw)
+        return out
+
+    @functools.cached_property
+    def jit_train_step(self):
+        return jax.jit(self.train_step, donate_argnums=0)
+
+    @functools.cached_property
+    def jit_generate(self):
+        return jax.jit(self.generate,
+                       static_argnames=("use_ema", "inference_stats"))

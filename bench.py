@@ -31,6 +31,7 @@ def main():
     cfg = DefectGanConfig(
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
+        fused_g_forward=True,
     )
     tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))
     steps = DefectGanSteps(cfg, tcfg, iters_per_epoch=1000, num_epochs=100)

@@ -60,6 +60,12 @@ class DefectGanConfig:
     # fp32 on GPU, trainers/defectgan_trainer.py:160-161 bypasses AMP).
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
     use_pallas: bool = True  # fused Pallas kernels on TPU, XLA fallback elsewhere
+    # batch the two translation directions of each cycle hop into one 2B
+    # generator call (larger MXU tiles, fewer launches). BatchNorm then
+    # normalizes over the combined 2B batch instead of per-direction — a
+    # documented deviation from the reference's 4 separate forwards
+    # (defectgan_model.py:185-190).
+    fused_g_forward: bool = False
 
     @property
     def dtype(self):

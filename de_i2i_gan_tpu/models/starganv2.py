@@ -273,8 +273,8 @@ class Generator(nn.Module):
             if layer_split_index is None:
                 return s
             # s: (N, 2, ...) -> second style for listed decoder layers
-            # (model.py:381-386); keep the reference's singleton embed axis
-            return s[:, 1:2] if idx in layer_split_index else s[:, 0:1]
+            # (model.py:381-386)
+            return s[:, 1] if idx in layer_split_index else s[:, 0]
 
         dec_idx = 0
         for i in range(2):

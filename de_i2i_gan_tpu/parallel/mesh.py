@@ -26,12 +26,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, spatial: int = 1) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
+              platform: Optional[str] = None) -> Mesh:
     """1-D data mesh (optionally n_data x spatial 2-D) over the first
-    ``n_devices`` devices."""
-    devices = jax.devices()
+    ``n_devices`` devices.
+
+    When the default platform has too few devices (e.g. the axon-tunneled
+    single TPU during development), falls back to the virtual CPU devices so
+    an 8-way mesh is actually 8-way — never a silent 1-device mesh.
+    """
+    devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices and platform is None:
+        cpu = jax.devices("cpu")
+        if len(cpu) >= n_devices:
+            devices = cpu
+    assert len(devices) >= n_devices, (
+        f"requested {n_devices} devices, have {len(devices)} "
+        f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n_devices})")
     devices = np.asarray(devices[:n_devices])
     if spatial > 1:
         assert n_devices % spatial == 0

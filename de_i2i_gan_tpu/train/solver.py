@@ -364,6 +364,163 @@ class StarGANv2Solver:
         out, _ = self._gen(params, g_state, x, s, y, masks, **kw)
         return out
 
+    # ------------------------------------------------------------- pretrain
+    # MAE pretraining mode (solver.py:98-204, compute_mae_{d,g}_loss
+    # :413-464, utils.py repair_mask :579-585). G params become
+    # {'net', 'token'} so the mask token trains with the G optimizer; the
+    # filtered checkpoint restore strips it for the train phase.
+    def init_pretrain_state(self, rng: jax.Array, mask_ratio: float = 0.75,
+                            patch_size: int = 8,
+                            mask_token_type: str = "position") -> SolverState:
+        from de_i2i_gan_tpu.nn.blocks import MaskToken
+        cfg = self.cfg
+        self._mae = (mask_ratio, patch_size)
+        self.token = MaskToken(mask_token_type, mask_ratio, 3, cfg.img_size)
+        base = self.init_state(rng)
+        img = jnp.zeros((2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        t_vars = self.token.init({"params": jax.random.fold_in(rng, 7)}, img,
+                                 jnp.ones((2, cfg.img_size, cfg.img_size, 1)))
+        g_params = {"net": base.G.params, "token": t_vars.get("params", {})}
+        return base.replace(G=NetState(g_params, base.G.state,
+                                       self.tx_G.init(g_params)),
+                            ema_G=jax.tree_util.tree_map(jnp.copy, g_params))
+
+    def _repair(self, g_params, g_state, x_real, s, y_org, masks, rng):
+        from de_i2i_gan_tpu.utils.masks import generate_shifted_mask
+        mask_ratio, patch_size = self._mae
+        b, h, w, _ = x_real.shape
+        mae_mask = generate_shifted_mask(rng, b, h, w, patch_size, mask_ratio)
+        masked = self.token.apply({"params": g_params["token"]}, x_real,
+                                  mae_mask)
+        x_fake, g_state = self._gen(g_params["net"], g_state, masked, s,
+                                    y_org, masks)
+        return x_fake, mae_mask, g_state
+
+    def _pretrain_style(self, params_m, params_s, batch, y_org, latent,
+                        x_override=None):
+        if self.cfg.norm_type == "adain":
+            if latent:
+                return self.M.apply({"params": params_m}, batch["z_ref"],
+                                    y_org)
+            x = batch["x_ref"] if x_override is None else x_override
+            return self.S.apply({"params": params_s}, x, y_org)
+        return batch["s_ref"]
+
+    def mae_d_loss_fn(self, d_params, state, batch, rng, latent):
+        cfg = self.cfg
+        x_real, y_org = batch["x_ref"], batch["y_ref"]
+        masks = batch.get("masks")
+
+        def d_real_sum(x):
+            return self.D.apply({"params": d_params}, x, y_org).sum()
+
+        out_real = self.D.apply({"params": d_params}, x_real, y_org)
+        loss_real = bce_logits(out_real, jnp.ones_like(out_real))
+        grad = jax.grad(d_real_sum)(x_real)
+        loss_reg = 0.5 * jnp.mean(jnp.sum(
+            jnp.square(grad.astype(jnp.float32)), axis=(1, 2, 3)))
+
+        m = state.M.params if state.M is not None else None
+        s_p = state.S.params if state.S is not None else None
+        s = self._pretrain_style(m, s_p, batch, y_org, latent)
+        x_fake, _, _ = self._repair(state.G.params, state.G.state, x_real,
+                                    jax.lax.stop_gradient(s), y_org, masks,
+                                    rng)
+        x_fake = jax.lax.stop_gradient(x_fake)
+        out_fake = self.D.apply({"params": d_params}, x_fake, y_org)
+        loss_fake = bce_logits(out_fake, jnp.zeros_like(out_fake))
+        loss = loss_real + loss_fake + cfg.lambda_reg * loss_reg
+        return loss, {"real": loss_real, "fake": loss_fake, "reg": loss_reg}
+
+    def mae_g_loss_fn(self, gms_params, state, batch, rng, latent):
+        cfg = self.cfg
+        g_params, m_params, s_params = gms_params
+        x_real, x_real2, y_org = batch["x_ref"], batch["x_ref2"], batch["y_ref"]
+        masks = batch.get("masks")
+        adain = cfg.norm_type == "adain"
+
+        s = self._pretrain_style(m_params, s_params, batch, y_org, latent)
+        x_fake, _, g_state = self._repair(g_params, state.G.state, x_real, s,
+                                          y_org, masks, rng)
+        out = self.D.apply({"params": state.D.params}, x_fake, y_org)
+        loss_adv = bce_logits(out, jnp.ones_like(out))
+        # style reconstruction on the repaired image (solver.py:444-446)
+        if adain:
+            s_pred = self.S.apply({"params": s_params}, x_fake, y_org) \
+                if not latent else self.M.apply({"params": m_params},
+                                                batch["z_ref"], y_org)
+            loss_sty = l1(s_pred, s)
+        else:
+            s_pred = batch.get("s_fake_pred")
+            loss_sty = l1(s_pred, s) if s_pred is not None else jnp.zeros(())
+        loss_rec = l1(x_fake, x_real)
+        if adain:
+            s_real = self.S.apply({"params": s_params}, x_real, y_org)
+            s_real2 = self.S.apply({"params": s_params}, x_real2, y_org)
+            loss_ds = l1(s_real, s_real2)
+        else:
+            loss_ds = jnp.zeros(())
+        loss = (loss_adv + cfg.lambda_sty * loss_sty +
+                cfg.lambda_cyc * loss_rec +
+                self._lambda_ds(state.step) * loss_ds)
+        return loss, (g_state, {"adv": loss_adv, "sty": loss_sty,
+                                "rec": loss_rec, "ds": loss_ds})
+
+    def pretrain_step(self, state: SolverState, batch, rng):
+        cfg = self.cfg
+        adain = cfg.norm_type == "adain"
+        metrics = {}
+        keys = jax.random.split(rng, 4)
+
+        def do_d(state, key, latent, tag):
+            (_, m), grads = jax.value_and_grad(
+                self.mae_d_loss_fn, has_aux=True)(state.D.params, state,
+                                                  batch, key, latent)
+            updates, opt = self.tx_D.update(grads, state.D.opt_state,
+                                            state.D.params)
+            metrics.update({f"D/{tag}_{k}": v for k, v in m.items()})
+            return state.replace(D=NetState(
+                optax.apply_updates(state.D.params, updates), {}, opt))
+
+        def do_g(state, key, latent, tag):
+            m_params = state.M.params if adain else None
+            s_params = state.S.params if adain else None
+            (_, (g_state, m)), grads = jax.value_and_grad(
+                self.mae_g_loss_fn, has_aux=True)(
+                (state.G.params, m_params, s_params), state, batch, key,
+                latent)
+            g_grads, m_grads, s_grads = grads
+            updates, g_opt = self.tx_G.update(g_grads, state.G.opt_state,
+                                              state.G.params)
+            g_params = optax.apply_updates(state.G.params, updates)
+            new_m, new_s = state.M, state.S
+            if adain and latent:
+                mu, m_opt = self.tx_M.update(m_grads, state.M.opt_state,
+                                             state.M.params)
+                new_m = NetState(optax.apply_updates(state.M.params, mu), {},
+                                 m_opt)
+                su, s_opt = self.tx_S.update(s_grads, state.S.opt_state,
+                                             state.S.params)
+                new_s = NetState(optax.apply_updates(state.S.params, su), {},
+                                 s_opt)
+            metrics.update({f"G/{tag}_{k}": v for k, v in m.items()})
+            return state.replace(G=NetState(g_params, g_state, g_opt),
+                                 M=new_m, S=new_s)
+
+        if adain:
+            state = do_d(state, keys[0], True, "latent")
+        state = do_d(state, keys[1], False, "ref")
+        if adain:
+            state = do_g(state, keys[2], True, "latent")
+        state = do_g(state, keys[3], False, "ref")
+
+        ema_g = ema_update(state.ema_G, state.G.params, cfg.ema_beta)
+        return state.replace(ema_G=ema_g, step=state.step + 1), metrics
+
+    @functools.cached_property
+    def jit_pretrain_step(self):
+        return jax.jit(self.pretrain_step, donate_argnums=0)
+
     @functools.cached_property
     def jit_train_step(self):
         return jax.jit(self.train_step, donate_argnums=0)

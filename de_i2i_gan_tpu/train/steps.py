@@ -174,12 +174,23 @@ class DefectGanSteps:
                                              stop_e=True)
 
         # fakes from the frozen generator (defectgan_model.py:256-260)
-        (fake_df, _), _, _ = self._g_apply(
-            state.G.params, state.G.state, bg, df_labels, df_feat,
-            train=False, rng=k_g1)
-        (fake_nm, _), _, _ = self._g_apply(
-            state.G.params, state.G.state, df, nm_labels, nm_feat,
-            train=False, rng=k_g2)
+        if cfg.fused_g_forward:
+            feat = None if df_feat is None else jnp.concatenate(
+                [df_feat, nm_feat], axis=0)
+            (fakes, _), _, _ = self._g_apply(
+                state.G.params, state.G.state,
+                jnp.concatenate([bg, df], axis=0),
+                jnp.concatenate([df_labels, nm_labels], axis=0),
+                feat, train=False, rng=k_g1)
+            b0 = bg.shape[0]
+            fake_df, fake_nm = fakes[:b0], fakes[b0:]
+        else:
+            (fake_df, _), _, _ = self._g_apply(
+                state.G.params, state.G.state, bg, df_labels, df_feat,
+                train=False, rng=k_g1)
+            (fake_nm, _), _, _ = self._g_apply(
+                state.G.params, state.G.state, df, nm_labels, nm_feat,
+                train=False, rng=k_g2)
         fake_df = jax.lax.stop_gradient(fake_df)
         fake_nm = jax.lax.stop_gradient(fake_nm)
 
@@ -241,11 +252,32 @@ class DefectGanSteps:
                 distill_acc.append(dvals)
             return out, prob, g_state
 
-        # double cycle, reference order (defectgan_model.py:185-190)
-        fake_df, p_df, g_state = gfwd(bg, df_labels, df_feat, k1, g_state)
-        rec_nm, p_rec_df, g_state = gfwd(fake_df, nm_labels, nm_feat, k2, g_state)
-        fake_nm, p_nm, g_state = gfwd(df, nm_labels, nm_feat, k3, g_state)
-        rec_df, p_rec_nm, g_state = gfwd(fake_nm, df_labels, df_feat, k4, g_state)
+        if cfg.fused_g_forward:
+            # both directions of each hop in one 2B call (TPU: larger tiles,
+            # half the launches; BN stats over the combined batch)
+            def cat(a, b):
+                return None if a is None else jnp.concatenate([a, b], axis=0)
+
+            b = bg.shape[0]
+            h1_out, h1_p, g_state = gfwd(
+                jnp.concatenate([bg, df], axis=0),
+                jnp.concatenate([df_labels, nm_labels], axis=0),
+                cat(df_feat, nm_feat), k1, g_state)
+            fake_df, fake_nm = h1_out[:b], h1_out[b:]
+            p_df, p_nm = h1_p[:b], h1_p[b:]
+            h2_out, h2_p, g_state = gfwd(
+                h1_out, jnp.concatenate([nm_labels, df_labels], axis=0),
+                cat(nm_feat, df_feat), k2, g_state)
+            rec_nm, rec_df = h2_out[:b], h2_out[b:]
+            p_rec_df, p_rec_nm = h2_p[:b], h2_p[b:]
+        else:
+            # double cycle, reference order (defectgan_model.py:185-190)
+            fake_df, p_df, g_state = gfwd(bg, df_labels, df_feat, k1, g_state)
+            rec_nm, p_rec_df, g_state = gfwd(fake_df, nm_labels, nm_feat, k2,
+                                             g_state)
+            fake_nm, p_nm, g_state = gfwd(df, nm_labels, nm_feat, k3, g_state)
+            rec_df, p_rec_nm, g_state = gfwd(fake_nm, df_labels, df_feat, k4,
+                                             g_state)
 
         # frozen D on augmented fakes (one batched 2B call)
         duo = jnp.concatenate([fake_df, fake_nm], axis=0)

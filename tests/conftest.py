@@ -8,11 +8,18 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env pins 'axon' (TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers the tunneled TPU and overrides
+# JAX_PLATFORMS; jax.config.update after import wins (verified: without this,
+# 'cpu' env still yields backend == tpu).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: recompiling identical test programs dominates
 # wall time on small hosts

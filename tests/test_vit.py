@@ -1,0 +1,73 @@
+"""ViT encoder + classifier workload tests (tiny ViT to keep compiles small)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import de_i2i_gan_tpu.models.vit as vit_mod
+from de_i2i_gan_tpu.config import TrainConfig
+from de_i2i_gan_tpu.train.vit_steps import ViTSteps, dump_embeddings
+
+# register a tiny size for testing
+vit_mod.SIZES["tiny"] = dict(hidden=32, layers=2, heads=2, mlp=64)
+
+
+def test_vit_encoder_shapes():
+    net = vit_mod.ViTEncoder(model_size="tiny", patch=16, image_size=32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                           minval=-1, maxval=1)
+    v = net.init(jax.random.PRNGKey(1), x)
+    h = net.apply(v, x)
+    assert h.shape == (2, 1 + 4, 32)  # cls + 2x2 patches
+
+
+def test_feature_extractor_multi_reference():
+    net = vit_mod.ViTEncoder(model_size="tiny", patch=16, image_size=32)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    fe = vit_mod.FeatureExtractor(v, model_size="tiny")
+    fe.net = net  # use the tiny geometry
+    fe._embed = jax.jit(lambda vv, x: net.apply(vv, x)[:, 0, :])
+    x5 = jax.random.uniform(jax.random.PRNGKey(1), (2, 5, 32, 32, 3))
+    emb = fe.extract(x5, num_embeds=-3)
+    assert emb.shape == (2, 3, 32)
+    emb1 = fe.extract(x5[:, 0], num_embeds=1)
+    assert emb1.shape == (2, 1, 32)
+
+
+def test_vit_classifier_learns():
+    tc = TrainConfig(batch_size=8, optimizer="adamw", lr=(1e-2,),
+                     scheduler="cos", clf_loss_type="cce")
+    steps = ViTSteps(label_nc=2, tcfg=tc, model_size="tiny",
+                     iters_per_epoch=10, num_epochs=5, image_size=32)
+    state = steps.init_state(jax.random.PRNGKey(0))
+    # two linearly separable image classes (bright vs dark)
+    k = jax.random.PRNGKey(1)
+    imgs = jnp.concatenate([
+        jax.random.uniform(k, (8, 32, 32, 3), minval=0.3, maxval=1.0),
+        jax.random.uniform(k, (8, 32, 32, 3), minval=-1.0, maxval=-0.3)])
+    labels = jax.nn.one_hot(jnp.asarray([0] * 8 + [1] * 8), 2)
+    accs = []
+    for i in range(15):
+        state, m = steps.jit_train_step(state, imgs, labels)
+        accs.append(float(m["acc"]))
+    assert accs[-1] >= 0.9, accs
+
+    ev = steps.jit_eval_step(state, imgs, labels)
+    assert float(ev["acc"]) >= 0.9
+
+
+def test_dump_embeddings():
+    tc = TrainConfig(batch_size=4, clf_loss_type="bce")
+    steps = ViTSteps(label_nc=3, tcfg=tc, model_size="tiny",
+                     iters_per_epoch=5, num_epochs=2, image_size=32)
+    steps.init_state(jax.random.PRNGKey(0))
+
+    def loader():
+        k = jax.random.PRNGKey(2)
+        imgs = np.asarray(jax.random.uniform(k, (4, 32, 32, 3)))
+        labels = np.eye(3, dtype=np.float32)[[0, 1, 2, 0]]
+        yield imgs, labels, ["a", "b", "c", "d"]
+
+    bank = dump_embeddings(steps, loader(), 3)
+    assert set(bank) == {(1, 0, 0), (0, 1, 0), (0, 0, 1)}
+    assert len(bank[(1, 0, 0)]) == 2
+    assert bank[(1, 0, 0)][0].shape == (32,)

@@ -58,6 +58,15 @@ def main(argv=None):
     print(f"{len(datasets['defects'])} defect / "
           f"{len(datasets['background'])} background train images")
 
+    embed_bank = None
+    if cfg.style_norm_block_type == "sean" and opt.embed_path is not None \
+            and cfg.sean_alpha != 0:
+        from de_i2i_gan_tpu.data.embeddings import EmbeddingBank
+        p = str(opt.embed_path)
+        embed_bank = (EmbeddingBank.load(opt.embed_path) if p.endswith(".npz")
+                      else EmbeddingBank.from_torch_file(opt.embed_path,
+                                                         cfg.label_nc))
+
     trainer = DefectGanTrainer(
         cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
         iters_per_epoch=len(df_loader), num_epochs=opt.num_epochs,
@@ -65,7 +74,7 @@ def main(argv=None):
         load_model_name=opt.load_model_name, which_epoch=opt.which_epoch,
         save_latest_freq=opt.save_latest_freq,
         save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
-        seed=opt.seed)
+        seed=opt.seed, embed_bank=embed_bank)
     trainer.train(loader)
 
 

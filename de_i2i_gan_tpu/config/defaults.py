@@ -66,6 +66,10 @@ class DefectGanConfig:
     # documented deviation from the reference's 4 separate forwards
     # (defectgan_model.py:185-190).
     fused_g_forward: bool = False
+    # rematerialize generator forwards inside the G loss (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(1) activation memory per hop,
+    # unlocking larger per-chip batches at high resolution.
+    remat: bool = False
 
     @property
     def dtype(self):

@@ -176,30 +176,17 @@ def _collate_ref(samples):
 
 
 class ReferenceLoader(BalancedLoader):
-    """Balanced loader over ReferenceDataset with pair collation."""
+    """Class-balanced loader over ReferenceDataset with pair collation."""
 
     def __iter__(self):
-        for batch in super().__iter__():
-            yield batch
-
-    def _indices(self):
-        return super()._indices()
+        idx = self._indices()
+        self._epoch += 1
+        nb = len(idx) // self.batch_size
+        for bi in range(nb):
+            chunk = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
+            yield _collate_ref([self.dataset[int(i)] for i in chunk])
 
 
 def make_reference_loader(dataset: ReferenceDataset, batch_size: int,
-                          seed: int = 777) -> DataLoader:
-    loader = BalancedLoader(dataset, batch_size, seed=seed)
-    # swap the collate by wrapping iteration
-    import de_i2i_gan_tpu.data.pipeline as pl
-
-    class _Wrapped(BalancedLoader):
-        def __iter__(self):
-            idx = self._indices()
-            self._epoch += 1
-            nb = len(idx) // self.batch_size
-            for bi in range(nb):
-                chunk = idx[bi * self.batch_size:(bi + 1) * self.batch_size]
-                yield _collate_ref([self.dataset[int(i)] for i in chunk])
-
-    w = _Wrapped(dataset, batch_size, seed=seed)
-    return w
+                          seed: int = 777) -> "ReferenceLoader":
+    return ReferenceLoader(dataset, batch_size, seed=seed)

@@ -59,7 +59,7 @@ class DefectGanGenerator(nn.Module):
                         embed_nc=cfg.embed_nc, style_distill=cfg.style_distill,
                         padding="same", padding_mode="reflect", act="relu",
                         use_spectral=cfg.use_spectral, add_noise=cfg.add_noise,
-                        dtype=dt)
+                        dtype=dt, use_pallas=cfg.use_pallas)
 
         # stem: 7x7 conv + BN + leaky-relu (generator.py:67-73)
         feat = ConvBlock(cfg.ngf, (7, 7), (1, 1), "same", "reflect",

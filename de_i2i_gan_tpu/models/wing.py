@@ -269,6 +269,82 @@ class WingHeatmapper:
         return preds * scale
 
 
+class FaceAligner:
+    """Offline face alignment (wing.py:190-246 FaceAligner + align helpers
+    :324-420): rotate/scale/translate each face so its eye/mouth landmarks
+    match the CelebA mean landmarks. Host-side numpy/scipy; the warp uses
+    scipy.ndimage.affine_transform in place of cv2.warpPerspective (the
+    composed transform is affine)."""
+
+    def __init__(self, heatmapper: "WingHeatmapper", celeba_mean_path: str,
+                 output_size: int = 256):
+        self.hm = heatmapper
+        mean = np.load(celeba_mean_path)
+        self.ref = np.float32(mean["mean"]) * (output_size // 256)
+        self.output_size = output_size
+        self.xaxis_ref = _landmarks2xaxis(self.ref)
+
+    def _matrix(self, landmarks: np.ndarray) -> np.ndarray:
+        t_origin = np.eye(3)
+        t_origin[:2, 2] = -landmarks.mean(axis=0)
+        xaxis_src = _landmarks2xaxis(landmarks)
+        vx = xaxis_src / np.linalg.norm(xaxis_src)
+        vy = self.xaxis_ref / np.linalg.norm(self.xaxis_ref)
+        c = float(np.dot(vx, vy))
+        s = float(np.sqrt(max(0.0, 1 - c * c)) * np.sign(np.cross(vx, vy)))
+        rot = np.asarray(((c, -s, 0), (s, c, 0), (0, 0, 1)))
+        scale = np.eye(3)
+        scale[0, 0] = scale[1, 1] = _landmarks2scale(landmarks, self.ref)
+        t_ref = np.eye(3)
+        t_ref[:2, 2] = self.ref.mean(axis=0)
+        return t_ref @ scale @ rot @ t_origin
+
+    def align(self, imgs: np.ndarray) -> np.ndarray:
+        """imgs: (N, H, W, 3) in [-1, 1] -> aligned images, same shape."""
+        from scipy import ndimage
+        lms = self.hm.get_landmarks(jnp.asarray(imgs))
+        out = np.empty_like(imgs)
+        s = self.output_size
+        for i, (img, lm) in enumerate(zip(imgs, lms)):
+            m = self._matrix(lm.astype(np.float32))
+            inv = np.linalg.inv(m)
+            # scipy maps output coords -> input coords via (matrix, offset);
+            # image axes are (y, x) so swap the 2x2 block
+            a = np.asarray([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
+            off = np.asarray([inv[1, 2], inv[0, 2]])
+            warped = np.stack([
+                ndimage.affine_transform(img[..., c], a, offset=off,
+                                         output_shape=(s, s), order=1,
+                                         mode="reflect")
+                for c in range(img.shape[-1])], axis=-1)
+            out[i] = warped
+        return out
+
+
+def _landmarks2eyes(lm):
+    left = lm[np.asarray(list(range(60, 68)) + [96])]
+    right = lm[np.asarray(list(range(68, 76)) + [97])]
+    return left.mean(axis=0), right.mean(axis=0)
+
+
+def _landmarks2xaxis(lm):
+    eye_l, eye_r = _landmarks2eyes(lm)
+    mouth_l, mouth_r = lm[76], lm[82]
+    xp = eye_r - eye_l
+    yp = (eye_l + eye_r) * 0.5 - (mouth_l + mouth_r) * 0.5
+    rot90 = np.asarray([yp[1], -yp[0]])
+    xaxis = xp - rot90
+    return xaxis / np.linalg.norm(xaxis)
+
+
+def _landmarks2scale(x, y):
+    xv = x - x.mean(axis=0)
+    yv = y - y.mean(axis=0)
+    idx = [96, 97, 76, 82]
+    return float((np.linalg.norm(yv, axis=1) /
+                  np.maximum(np.linalg.norm(xv, axis=1), 1e-8))[idx].mean())
+
+
 def load_torch_wing_weights(path: str, variables):
     """Convert the reference wing.ckpt into the flax FAN tree."""
     import torch

@@ -190,6 +190,7 @@ class _StyleNorm(nn.Module):
     embed_nc: Optional[int] = None
     style_distill: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, labels, style_feat=None, *,
@@ -201,11 +202,13 @@ class _StyleNorm(nn.Module):
             assert self.embed_nc is not None, "embed_nc must be specified for SEAN"
             return SEAN(self.embed_nc, self.norm_nc, self.label_nc,
                         self.hidden_nc, style_distill=self.style_distill,
-                        dtype=self.dtype, name="sean")(
+                        dtype=self.dtype, use_pallas=self.use_pallas,
+                        name="sean")(
                 x, labels, style_feat, track_stats=track_stats,
                 inference_stats=inference_stats, distill=distill)
         if self.style_type == "adain":
             return AdaIN(self.norm_nc, self.hidden_nc, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
                          name="adain")(x, style_feat)
         raise ValueError(f"Unknown style norm block type: {self.style_type}")
 
@@ -228,6 +231,7 @@ class NormConvBlock(nn.Module):
     use_spectral: bool = False
     add_noise: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, labels, style_feat=None, *, train: bool = False,
@@ -236,7 +240,8 @@ class NormConvBlock(nn.Module):
             x = upsample_nearest(x)
         y = _StyleNorm(self.style_type, x.shape[-1], self.label_nc,
                        self.hidden_nc, self.embed_nc, self.style_distill,
-                       dtype=self.dtype, name="norm")(
+                       dtype=self.dtype, use_pallas=self.use_pallas,
+                       name="norm")(
             x, labels, style_feat, track_stats=track_stats,
             inference_stats=inference_stats, distill=distill)
         y = get_act(self.act)(y)
@@ -266,6 +271,7 @@ class NormResBlock(nn.Module):
     use_spectral: bool = False
     add_noise: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, labels, style_feat=None, *, train: bool = False,
@@ -281,6 +287,7 @@ class NormResBlock(nn.Module):
         if self.up_scale:
             s = _StyleNorm(self.style_type, f_in, self.label_nc, self.hidden_nc,
                            self.embed_nc, self.style_distill, dtype=self.dtype,
+                           use_pallas=self.use_pallas,
                            name="norm_s")(x, labels, style_feat, **norm_kw)
             s = Conv2d(self.features, self.kernel_size, (1, 1), self.padding,
                        self.padding_mode, use_spectral=self.use_spectral,
@@ -291,6 +298,7 @@ class NormResBlock(nn.Module):
         act = get_act(self.act)
         y = _StyleNorm(self.style_type, f_in, self.label_nc, self.hidden_nc,
                        self.embed_nc, self.style_distill, dtype=self.dtype,
+                       use_pallas=self.use_pallas,
                        name="norm_0")(x, labels, style_feat, **norm_kw)
         y = Conv2d(f_mid, self.kernel_size, (1, 1), self.padding,
                    self.padding_mode, use_spectral=self.use_spectral,
@@ -299,6 +307,7 @@ class NormResBlock(nn.Module):
             y = NoiseInjection(name="noise_0")(y)
         y = _StyleNorm(self.style_type, f_mid, self.label_nc, self.hidden_nc,
                        self.embed_nc, self.style_distill, dtype=self.dtype,
+                       use_pallas=self.use_pallas,
                        name="norm_1")(y, labels, style_feat, **norm_kw)
         y = Conv2d(self.features, self.kernel_size, (1, 1), self.padding,
                    self.padding_mode, use_spectral=self.use_spectral,

@@ -110,6 +110,7 @@ class AdaIN(nn.Module):
     norm_nc: int
     hidden_nc: int = 128
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, style_feat: jax.Array) -> jax.Array:
@@ -119,7 +120,8 @@ class AdaIN(nn.Module):
         gamma = Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(style_feat)
         beta = Dense(self.norm_nc, dtype=self.dtype, name="mlp_beta")(style_feat)
         from de_i2i_gan_tpu.ops.fused import modulated_instance_norm
-        return modulated_instance_norm(x, gamma, beta)
+        return modulated_instance_norm(x, gamma, beta,
+                                       use_pallas=self.use_pallas)
 
 
 def sean_label_index(labels: jax.Array) -> jax.Array:
@@ -156,6 +158,7 @@ class SEAN(nn.Module):
     latent_dim: int = 16
     style_distill: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, labels: jax.Array,
@@ -230,7 +233,8 @@ class SEAN(nn.Module):
         gamma = Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(mix_feat)
         beta = Dense(self.norm_nc, dtype=self.dtype, name="mlp_beta")(mix_feat)
         from de_i2i_gan_tpu.ops.fused import modulated_instance_norm
-        return modulated_instance_norm(x, gamma, beta)
+        return modulated_instance_norm(x, gamma, beta,
+                                       use_pallas=self.use_pallas)
 
 
 def sean_update_stats(sean_stats, eps: float = 1e-5):

@@ -40,27 +40,29 @@ def _apply_act(y, act: Optional[str]):
 def _fwd_kernel(x_ref, g_ref, b_ref, o_ref, mean_ref, inv_ref, *,
                 eps: float, act: Optional[str]):
     j = pl.program_id(1)
+    lanes = pl.ds(pl.multiple_of(j * LANE, LANE), LANE)
     x = x_ref[0].astype(jnp.float32)  # (HW, 128)
     mean = jnp.mean(x, axis=0, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=0, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    gamma = g_ref[0, j].astype(jnp.float32)
-    beta = b_ref[0, j].astype(jnp.float32)
+    gamma = g_ref[0, 0, lanes]
+    beta = b_ref[0, 0, lanes]
     y = centered * inv * (1.0 + gamma)[None, :] + beta[None, :]
     o_ref[0] = _apply_act(y, act).astype(o_ref.dtype)
-    mean_ref[0, j] = mean[0]
-    inv_ref[0, j] = inv[0]
+    mean_ref[0, 0, lanes] = mean[0]
+    inv_ref[0, 0, lanes] = inv[0]
 
 
 def _bwd_kernel(x_ref, g_ref, b_ref, mean_ref, inv_ref, dy_ref,
                 dx_ref, dg_ref, db_ref, *, act: Optional[str]):
     j = pl.program_id(1)
+    lanes = pl.ds(pl.multiple_of(j * LANE, LANE), LANE)
     x = x_ref[0].astype(jnp.float32)
-    mean = mean_ref[0, j].astype(jnp.float32)[None, :]
-    inv = inv_ref[0, j].astype(jnp.float32)[None, :]
-    gamma = g_ref[0, j].astype(jnp.float32)[None, :]
-    beta = b_ref[0, j].astype(jnp.float32)[None, :]
+    mean = mean_ref[0, 0, lanes][None, :]
+    inv = inv_ref[0, 0, lanes][None, :]
+    gamma = g_ref[0, 0, lanes][None, :]
+    beta = b_ref[0, 0, lanes][None, :]
     dy = dy_ref[0].astype(jnp.float32)
 
     xhat = (x - mean) * inv
@@ -72,8 +74,8 @@ def _bwd_kernel(x_ref, g_ref, b_ref, mean_ref, inv_ref, dy_ref,
         elif act == "leaky_relu":
             dy = jnp.where(y >= 0, dy, 0.2 * dy)
 
-    dg_ref[0, j] = jnp.sum(dy * xhat, axis=0)
-    db_ref[0, j] = jnp.sum(dy, axis=0)
+    dg_ref[0, 0, lanes] = jnp.sum(dy * xhat, axis=0)
+    db_ref[0, 0, lanes] = jnp.sum(dy, axis=0)
     # dx for instance norm: a*inv*(dy - mean(dy) - xhat*mean(dy*xhat))
     a_inv = (1.0 + gamma) * inv
     m_dy = jnp.mean(dy, axis=0, keepdims=True)
@@ -81,13 +83,14 @@ def _bwd_kernel(x_ref, g_ref, b_ref, mean_ref, inv_ref, dy_ref,
     dx_ref[0] = (a_inv * (dy - m_dy - xhat * m_dyx)).astype(dx_ref.dtype)
 
 
-def _specs(hw, ct):
-    """Mosaic tiling: the channel-vector operands are shaped (N, CT, 128)
-    with full per-sample rows per block (block dims must divide (8, 128) or
-    equal the array dims); the kernel selects its tile with program_id(1)."""
+def _specs(hw, c):
+    """Mosaic tiling: channel vectors are (N, 1, C) float32 with one full
+    per-sample row per block (block dims must divide (8, 128) or equal the
+    array dims); kernels slice their 128-lane tile at j*128 — statically a
+    lane multiple."""
     slab = pl.BlockSpec((1, hw, LANE), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, ct, LANE), lambda i, j: (i, 0, 0),
+    vec = pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return slab, vec
 
@@ -95,19 +98,18 @@ def _specs(hw, ct):
 def _fwd_call(x, gamma, beta, act, eps, interpret):
     n, h, w, c = x.shape
     hw = h * w
-    ct = c // LANE
     xr = x.reshape(n, hw, c)
-    g3 = gamma.reshape(n, ct, LANE)
-    b3 = beta.reshape(n, ct, LANE)
-    slab, vec = _specs(hw, ct)
+    g3 = gamma.reshape(n, 1, c).astype(jnp.float32)
+    b3 = beta.reshape(n, 1, c).astype(jnp.float32)
+    slab, vec = _specs(hw, c)
     out, mean, inv = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps, act=act),
-        grid=(n, ct),
+        grid=(n, c // LANE),
         in_specs=[slab, vec, vec],
         out_specs=(slab, vec, vec),
         out_shape=(jax.ShapeDtypeStruct(xr.shape, x.dtype),
-                   jax.ShapeDtypeStruct((n, ct, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((n, ct, LANE), jnp.float32)),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32)),
         interpret=interpret,
     )(xr, g3, b3)
     return out.reshape(n, h, w, c), mean, inv
@@ -116,20 +118,19 @@ def _fwd_call(x, gamma, beta, act, eps, interpret):
 def _bwd_call(x, gamma, beta, mean, inv, dy, act, interpret):
     n, h, w, c = x.shape
     hw = h * w
-    ct = c // LANE
     xr = x.reshape(n, hw, c)
     dyr = dy.reshape(n, hw, c)
-    g3 = gamma.reshape(n, ct, LANE)
-    b3 = beta.reshape(n, ct, LANE)
-    slab, vec = _specs(hw, ct)
+    g3 = gamma.reshape(n, 1, c).astype(jnp.float32)
+    b3 = beta.reshape(n, 1, c).astype(jnp.float32)
+    slab, vec = _specs(hw, c)
     dx, dg, db = pl.pallas_call(
         functools.partial(_bwd_kernel, act=act),
-        grid=(n, ct),
+        grid=(n, c // LANE),
         in_specs=[slab, vec, vec, vec, vec, slab],
         out_specs=(slab, vec, vec),
         out_shape=(jax.ShapeDtypeStruct(xr.shape, x.dtype),
-                   jax.ShapeDtypeStruct((n, ct, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((n, ct, LANE), jnp.float32)),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, c), jnp.float32)),
         interpret=interpret,
     )(xr, g3, b3, mean, inv, dyr)
     return dx.reshape(n, h, w, c), dg.reshape(n, c), db.reshape(n, c)

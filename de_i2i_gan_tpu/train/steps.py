@@ -244,10 +244,17 @@ class DefectGanSteps:
         g_state = state.G.state
         distill_acc = []
 
+        def _g_fwd_pure(params, g_state, x, labels, feat, k):
+            return self._g_apply(params, g_state, x, labels, feat,
+                                 train=True, rng=k, track_stats=track,
+                                 distill=distill)
+
+        if cfg.remat:
+            _g_fwd_pure = jax.checkpoint(_g_fwd_pure)
+
         def gfwd(x, labels, feat, k, g_state):
-            (out, prob), g_state, dvals = self._g_apply(
-                g_params, g_state, x, labels, feat, train=True, rng=k,
-                track_stats=track, distill=distill)
+            (out, prob), g_state, dvals = _g_fwd_pure(g_params, g_state, x,
+                                                      labels, feat, k)
             if dvals is not None:
                 distill_acc.append(dvals)
             return out, prob, g_state

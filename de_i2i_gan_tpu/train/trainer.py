@@ -70,8 +70,10 @@ class DefectGanTrainer:
                  load_model_name: Optional[str] = None,
                  which_epoch: str = "latest",
                  save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
-                 save_img_freq: int = 4, seed: int = 123):
+                 save_img_freq: int = 4, seed: int = 123, embed_bank=None):
         self.cfg, self.tcfg = cfg, tcfg
+        # SEAN style-embedding bank (--embed_path, defectgan_model.py:43-45)
+        self.embed_bank = embed_bank
         self.name = name
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
@@ -114,7 +116,13 @@ class DefectGanTrainer:
                        desc=f"Epoch [{epoch}/{self.num_epochs}]") \
                 if (progress and tqdm) else it
             for super_batch in bar:
-                self._rng, key = jax.random.split(self._rng)
+                self._rng, key, k_emb = jax.random.split(self._rng, 3)
+                if self.embed_bank is not None and \
+                        self.cfg.style_norm_block_type == "sean":
+                    from de_i2i_gan_tpu.data.embeddings import attach_embeddings
+                    super_batch = attach_embeddings(
+                        super_batch, self.embed_bank, self.cfg.num_embeds,
+                        k_emb)
                 self.state, metrics = self.steps.jit_super_step(
                     self.state, super_batch, key)
                 self.iters += nc

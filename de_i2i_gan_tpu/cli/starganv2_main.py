@@ -129,7 +129,33 @@ def main(argv=None):
                 save_checkpoint(ckpt_dir, "starganv2", f"{i + 1:06d}", state)
         save_checkpoint(ckpt_dir, "starganv2", "latest", state)
     elif args.mode == "sample":
-        print("sampling: use solver.jit_generate on a loaded checkpoint")
+        # reference-guided + cycle sample grids (stargan-v2 utils.py:110-174)
+        from de_i2i_gan_tpu.data.transforms import EvalTransform
+        from de_i2i_gan_tpu.utils.translate import (
+            debug_image, translate_using_latent)
+        import jax.numpy as jnp
+        tf = EvalTransform(args.img_size)
+        src = BalancedLoader(ImageFolderDataset(args.val_img_dir, tf,
+                                                args.seed),
+                             args.val_batch_size, seed=args.seed)
+        ref = make_reference_loader(
+            ReferenceDataset(args.val_img_dir, tf, args.seed),
+            args.val_batch_size, seed=args.seed + 1)
+        fetcher = InputFetcher(src, ref, args.latent_dim, args.norm_type,
+                               args.hidden_nc, args.seed)
+        inputs = next(fetcher)
+        debug_image(solver, state, inputs, args.resume_iter, args.sample_dir)
+        if args.norm_type == "adain":
+            import numpy as np
+            z_list = [jnp.asarray(np.random.default_rng(i).standard_normal(
+                args.latent_dim).astype(np.float32)) for i in range(3)]
+            grid = translate_using_latent(
+                solver, state, jnp.asarray(inputs["x_src"][:4]),
+                list(range(args.num_domains)), z_list)
+            from PIL import Image
+            Image.fromarray((np.clip(grid, 0, 1) * 255).astype("uint8")).save(
+                Path(args.sample_dir) / "latent_grid.png")
+        print(f"samples written to {args.sample_dir}")
     elif args.mode == "eval":
         from de_i2i_gan_tpu.metrics.eval_starganv2 import evaluate_all_tasks
         evaluate_all_tasks(solver, state, args)

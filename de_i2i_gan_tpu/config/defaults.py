@@ -59,7 +59,12 @@ class DefectGanConfig:
     # TPU-specific compute policy (no reference equivalent: the reference runs
     # fp32 on GPU, trainers/defectgan_trainer.py:160-161 bypasses AMP).
     compute_dtype: str = "float32"  # "bfloat16" on TPU for speed
-    use_pallas: bool = True  # fused Pallas kernels on TPU, XLA fallback elsewhere
+    # fused Pallas norm kernel (ops/pallas/norm_kernels.py). Measured on v5e
+    # at 256^2 adain training: XLA's own reduce+fuse pipeline is ~4% faster
+    # than the kernel (334 vs 347 ms/superstep) because the custom VJP
+    # recomputes x_hat; default off for training, available for
+    # inference-heavy or very bandwidth-bound shapes.
+    use_pallas: bool = False
     # batch the two translation directions of each cycle hop into one 2B
     # generator call (larger MXU tiles, fewer launches). BatchNorm then
     # normalizes over the combined 2B batch instead of per-direction — a

@@ -140,6 +140,33 @@ class SuperBatchLoader:
             yield {self.key: np.stack(imgs), "labels": np.stack(labels)}
 
 
+def device_prefetch(iterator, depth: int = 2):
+    """Move batches to device ahead of consumption so the H2D transfer of
+    batch k+1 overlaps the computation of batch k (the north-star requirement
+    that the input pipeline never stalls the TPU)."""
+    import collections
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append(jax.tree_util.tree_map(jax.device_put, batch))
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DualStreamLoader:
     """Defects + infinite background -> super-batches for super_step.
 

@@ -51,12 +51,15 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _border_index(n: int) -> np.ndarray:
+    """Map positions 0..n-1 to the 7-point tile rows (0,1,2 | 3 | 4,5,6)."""
+    i = np.arange(n)
+    return np.where(i <= 2, i, np.where(i >= n - 3, 6 - (n - 1 - i), 3))
+
+
 def _expand_from_tile(tile: jax.Array, h: int, w: int) -> jax.Array:
     """Expand a (N, 7, 7, C) conv-on-constant-input result to (N, H, W, C)."""
-    def idx(n):
-        i = np.arange(n)
-        return np.where(i <= 2, i, np.where(i >= n - 3, 6 - (n - 1 - i), 3))
-    return tile[:, idx(h)[:, None], idx(w)[None, :], :]
+    return tile[:, _border_index(h)[:, None], _border_index(w)[None, :], :]
 
 
 class SPADE(nn.Module):
@@ -85,20 +88,47 @@ class SPADE(nn.Module):
         normalized = instance_norm(x)
 
         if segmap.ndim == 2 and h >= 7 and w >= 7:
-            # spatially-constant segmap fast path: evaluate on a 7x7 tile
+            # spatially-constant segmap fast path: evaluate on a 7x7 tile and
+            # modulate with the interior value everywhere, then overwrite the
+            # exact <=3px border strips — never materializing full-resolution
+            # gamma/beta maps (2 fewer full tensors of HBM traffic per call)
             seg = jnp.broadcast_to(segmap[:, None, None, :].astype(self.dtype),
                                    (n, 7, 7, self.label_nc))
-            gamma, beta = self._mlp(seg)
-            gamma = _expand_from_tile(gamma, h, w)
-            beta = _expand_from_tile(beta, h, w)
-        else:
-            if segmap.ndim == 2:
-                segmap = segmap[:, None, None, :]
-            if segmap.shape[1:3] != (h, w):
-                segmap = jax.image.resize(
-                    segmap, (n, h, w, segmap.shape[-1]), method="nearest")
-            gamma, beta = self._mlp(segmap.astype(self.dtype))
+            g7, b7 = self._mlp(seg)
+            out = normalized * (1.0 + g7[:, 3:4, 3:4]) + b7[:, 3:4, 3:4]
 
+            rows = _border_index(h)
+            cols = _border_index(w)
+
+            def strip(sl_h, sl_w, g, b):
+                return normalized[:, sl_h, sl_w] * (1.0 + g) + b
+
+            # top / bottom rows (exact cols via the 7-point column map)
+            g_top = g7[:, :3][:, :, cols]
+            b_top = b7[:, :3][:, :, cols]
+            out = out.at[:, :3].set(strip(slice(0, 3), slice(None),
+                                          g_top, b_top))
+            g_bot = g7[:, 4:][:, :, cols]
+            b_bot = b7[:, 4:][:, :, cols]
+            out = out.at[:, h - 3:].set(strip(slice(h - 3, h), slice(None),
+                                              g_bot, b_bot))
+            # left / right columns
+            g_l = g7[:, rows][:, :, :3]
+            b_l = b7[:, rows][:, :, :3]
+            out = out.at[:, :, :3].set(strip(slice(None), slice(0, 3),
+                                             g_l, b_l))
+            g_r = g7[:, rows][:, :, 4:]
+            b_r = b7[:, rows][:, :, 4:]
+            out = out.at[:, :, w - 3:].set(strip(slice(None),
+                                                 slice(w - 3, w), g_r, b_r))
+            return out.astype(x.dtype)
+
+        if segmap.ndim == 2:
+            segmap = segmap[:, None, None, :]
+        if segmap.shape[1:3] != (h, w):
+            segmap = jax.image.resize(
+                segmap, (n, h, w, segmap.shape[-1]), method="nearest")
+        gamma, beta = self._mlp(segmap.astype(self.dtype))
         out = normalized * (1.0 + gamma) + beta
         return out.astype(x.dtype)
 

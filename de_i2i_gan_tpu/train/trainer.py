@@ -109,9 +109,10 @@ class DefectGanTrainer:
         except ImportError:
             tqdm = None
         nc = self.tcfg.num_critics
+        from de_i2i_gan_tpu.data.pipeline import device_prefetch
         for epoch in range(self.first_epoch, self.num_epochs + 1):
             sums, counts = defaultdict(float), defaultdict(int)
-            it = iter(train_loader)
+            it = device_prefetch(train_loader)
             bar = tqdm(it, total=len(train_loader), colour="MAGENTA",
                        desc=f"Epoch [{epoch}/{self.num_epochs}]") \
                 if (progress and tqdm) else it

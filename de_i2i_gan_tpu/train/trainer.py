@@ -74,6 +74,9 @@ class DefectGanTrainer:
         self.cfg, self.tcfg = cfg, tcfg
         # SEAN style-embedding bank (--embed_path, defectgan_model.py:43-45)
         self.embed_bank = embed_bank
+        # divergence detection + rollback (SURVEY.md §5.3)
+        from de_i2i_gan_tpu.utils.guards import NaNGuard
+        self._guard = NaNGuard()
         self.name = name
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
@@ -124,12 +127,14 @@ class DefectGanTrainer:
                     super_batch = attach_embeddings(
                         super_batch, self.embed_bank, self.cfg.num_embeds,
                         k_emb)
-                self.state, metrics = self.steps.jit_super_step(
+                new_state, metrics = self.steps.jit_super_step(
                     self.state, super_batch, key)
+                self.state, accepted = self._guard.update(new_state, metrics)
                 self.iters += nc
-                for k, v in metrics.items():
-                    sums[k] += float(v)
-                    counts[k] += 1
+                if accepted:
+                    for k, v in metrics.items():
+                        sums[k] += float(v)
+                        counts[k] += 1
                 if progress and tqdm:
                     bar.set_postfix({k: f"{sums[k] / counts[k]:.4f}"
                                      for k in ("gan_D", "gan_G", "rec")

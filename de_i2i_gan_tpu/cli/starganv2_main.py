@@ -34,6 +34,7 @@ def build_parser():
     p.add_argument("--norm_type", type=str, default="adain",
                    choices=["adain", "sean"])
     p.add_argument("--w_hpf", type=float, default=1.0)
+    p.add_argument("--max_conv_dim", type=int, default=512)
     p.add_argument("--lambda_reg", type=float, default=1.0)
     p.add_argument("--lambda_cyc", type=float, default=1.0)
     p.add_argument("--lambda_sty", type=float, default=1.0)
@@ -85,6 +86,7 @@ def main(argv=None):
         latent_dim=args.latent_dim, hidden_nc=args.hidden_nc,
         style_dim=args.style_dim, embed_nc=args.embed_nc,
         norm_type=args.norm_type, w_hpf=args.w_hpf,
+        max_conv_dim=args.max_conv_dim,
         lambda_reg=args.lambda_reg, lambda_cyc=args.lambda_cyc,
         lambda_sty=args.lambda_sty, lambda_ds=args.lambda_ds,
         ds_iter=args.ds_iter, total_iters=args.total_iters,

@@ -91,6 +91,7 @@ def add_test_args(p: argparse.ArgumentParser):
     p.add_argument("--cal_clf", action="store_true")
     p.add_argument("--vis_style_embeds", type=str, default=None)
     p.add_argument("--save_diverse_images", action="store_true")
+    p.add_argument("--num_display_images", type=int, default=8)
     return p
 
 
@@ -264,11 +265,18 @@ def to_defectgan_config(opt) -> DefectGanConfig:
 
 
 def to_train_config(opt, clf_loss_type: str = "bce") -> TrainConfig:
+    # test-phase parsers omit the train group; fall back to TrainConfig
+    # defaults there (the step factories still need a TrainConfig)
+    d = TrainConfig()
     return TrainConfig(
-        batch_size=opt.batch_size, optimizer=opt.optimizer,
-        lr=tuple(opt.lr), lr_decay=opt.lr_decay, scheduler=opt.scheduler,
-        num_epochs=opt.num_epochs, num_iters=opt.num_iters,
-        num_critics=opt.num_critics,
+        batch_size=opt.batch_size,
+        optimizer=getattr(opt, "optimizer", d.optimizer),
+        lr=tuple(getattr(opt, "lr", d.lr)),
+        lr_decay=getattr(opt, "lr_decay", d.lr_decay),
+        scheduler=getattr(opt, "scheduler", d.scheduler),
+        num_epochs=getattr(opt, "num_epochs", d.num_epochs),
+        num_iters=getattr(opt, "num_iters", d.num_iters),
+        num_critics=getattr(opt, "num_critics", d.num_critics),
         loss_weight=tuple(getattr(opt, "loss_weight", (2, 5, 5, 5, 1))),
         diff_aug=getattr(opt, "diff_aug", ""), clf_loss_type=clf_loss_type,
         ema_decay=getattr(opt, "ema_decay", 0.0))

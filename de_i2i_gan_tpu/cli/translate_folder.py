@@ -79,7 +79,8 @@ def main(argv=None):
         # pad the tail batch to keep shapes static under jit
         pad = batch_size - len(chunk)
         if pad:
-            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
         labels = np.tile(labels_row, (batch_size, 1))
         out = np.asarray(fwd(variables, jnp.asarray(imgs),
                              jnp.asarray(labels)))

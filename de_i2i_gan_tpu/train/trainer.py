@@ -77,6 +77,7 @@ class DefectGanTrainer:
         # divergence detection + rollback (SURVEY.md §5.3)
         from de_i2i_gan_tpu.utils.guards import NaNGuard
         self._guard = NaNGuard()
+        self._pending = []  # device-side metric dicts awaiting host fetch
         self.name = name
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
@@ -102,6 +103,25 @@ class DefectGanTrainer:
             self.state = load_checkpoint(self.ckpt_dir, load_model_name,
                                          which_epoch, self.state, strict=False)
         self._rng = jax.random.PRNGKey(seed + 1)
+
+    def _drain_metrics(self, sums, counts):
+        if not self._pending:
+            return
+        from de_i2i_gan_tpu.utils.guards import metrics_finite
+        fetched = jax.device_get(self._pending)
+        self._pending = []
+        # detection is deferred by up to the drain window, so only snapshot
+        # when the whole window was clean; otherwise roll the live state back
+        # to the last good snapshot
+        bad = next((m for m in fetched if not metrics_finite(m)), None)
+        if bad is None:
+            for metrics in fetched:
+                for k, v in metrics.items():
+                    sums[k] += float(v)
+                    counts[k] += 1
+            self._guard.update(self.state, fetched[-1])
+        else:
+            self.state, _ = self._guard.update(self.state, bad)
 
     # ------------------------------------------------------------------ train
     def train(self, train_loader: DualStreamLoader, val_fn=None,
@@ -129,19 +149,22 @@ class DefectGanTrainer:
                         k_emb)
                 new_state, metrics = self.steps.jit_super_step(
                     self.state, super_batch, key)
-                self.state, accepted = self._guard.update(new_state, metrics)
+                self._pending.append(metrics)
+                self.state = new_state
                 self.iters += nc
-                if accepted:
-                    for k, v in metrics.items():
-                        sums[k] += float(v)
-                        counts[k] += 1
-                if progress and tqdm:
+                # metric fetches are host round trips (32ms each over the
+                # axon tunnel); drain asynchronously every few super-steps so
+                # the device queue stays full
+                if len(self._pending) >= 4:
+                    self._drain_metrics(sums, counts)
+                if progress and tqdm and counts:
                     bar.set_postfix({k: f"{sums[k] / counts[k]:.4f}"
                                      for k in ("gan_D", "gan_G", "rec")
                                      if counts.get(k)})
                 if self.iters % self.save_latest_freq < nc:
                     save_checkpoint(self.ckpt_dir, self.name, "latest",
                                     self.state, epoch=epoch, iters=self.iters)
+            self._drain_metrics(sums, counts)
             # per-epoch bookkeeping
             means = {k: sums[k] / max(counts[k], 1) for k in sums}
             writer.scalars("Losses/gan",

@@ -14,7 +14,6 @@ NHWC numpy, ready for one H2D transfer.
 """
 from __future__ import annotations
 
-import itertools
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional
 
@@ -104,11 +103,10 @@ class RandomReferenceDataset:
         return self.base.labels()
 
     def __getitem__(self, i):
-        _, label, fn = self.base.samples[i][0], self.base.samples[i][1], None
-        label = self.base.samples[i][1]
+        fn, label = self.base.samples[i]
         idxs = self._rng.choice(self.by_domain[label], self.num_embeds)
         imgs = [self.base[int(j)][0] for j in idxs]
-        return np.stack(imgs), np.int32(label), str(self.base.samples[i][0])
+        return np.stack(imgs), np.int32(label), str(fn)
 
 
 def balanced_indices(labels: np.ndarray, n: int,

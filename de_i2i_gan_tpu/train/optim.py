@@ -12,7 +12,6 @@ defectgan_trainer.py:108) converts its count back to epochs with that factor.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

@@ -1,4 +1,4 @@
-"""WGAN (weight-clipping) training steps.
+"""WGAN training steps: weight clipping and gradient penalty variants.
 
 Mirrors /root/reference/defectGAN/trainers/wgan_trainer.py:18-138 and
 models/wgan_model.py:8-21:
@@ -7,6 +7,11 @@ models/wgan_model.py:8-21:
   * Wasserstein losses: d_loss = mean(D(fake)) - mean(D(real)),
     g_loss = -mean(D(G(z)))
   * one G update every num_critics critic updates
+
+The reference also ships an EMPTY models/wgan_gp_model.py (0 LoC) — the
+WGAN-GP variant it never implemented. ``gp_weight > 0`` here enables the
+standard interpolated gradient penalty (clean grad-of-grad in JAX) and
+disables clipping, completing that placeholder.
 """
 from __future__ import annotations
 
@@ -31,8 +36,10 @@ def clip_tree(params, limit: float):
 
 class WGanSteps:
     def __init__(self, cfg: WGanConfig, tcfg: TrainConfig,
-                 iters_per_epoch: int = 1000, num_epochs: int = 120):
+                 iters_per_epoch: int = 1000, num_epochs: int = 120,
+                 gp_weight: float = 0.0):
         self.cfg, self.tcfg = cfg, tcfg
+        self.gp_weight = gp_weight  # > 0: WGAN-GP (no weight clipping)
         self.G = WGanGenerator(cfg)
         self.D = WGanDiscriminator(cfg)
         self.tx_D = make_optimizer(tcfg, tcfg.lr_d, iters_per_epoch, num_epochs)
@@ -63,9 +70,13 @@ class WGanSteps:
 
     def d_step(self, state: GANTrainState, batch: Dict, rng: jax.Array):
         real = batch["imgs"]
-        noise = jax.random.normal(rng, (real.shape[0], self.cfg.noise_dim))
-        # clip BEFORE the update (wgan_trainer.py:125)
-        d_params = clip_tree(state.D.params, self.cfg.clipping_limit)
+        k_z, k_eps = jax.random.split(rng)
+        noise = jax.random.normal(k_z, (real.shape[0], self.cfg.noise_dim))
+        if self.gp_weight > 0:
+            d_params = state.D.params
+        else:
+            # clip BEFORE the update (wgan_trainer.py:125)
+            d_params = clip_tree(state.D.params, self.cfg.clipping_limit)
 
         def loss_fn(dp):
             fake, _ = self._gen(state.G.params, state.G.state, noise,
@@ -77,7 +88,22 @@ class WGanSteps:
                                        mutable=["batch_stats"])
             b = real.shape[0]
             w_dist = logits[:b].mean() - logits[b:].mean()
-            return -w_dist, ({**state.D.state, **mut}, w_dist)
+            loss = -w_dist
+            if self.gp_weight > 0:
+                # interpolated gradient penalty: (||dD/dx_hat|| - 1)^2
+                eps = jax.random.uniform(k_eps, (b, 1, 1, 1))
+                x_hat = eps * real + (1 - eps) * fake
+
+                def critic_sum(x):
+                    return self.D.apply({"params": dp, **state.D.state}, x,
+                                        train=False).sum()
+
+                g = jax.grad(critic_sum)(x_hat)
+                norms = jnp.sqrt(jnp.sum(jnp.square(
+                    g.astype(jnp.float32)), axis=(1, 2, 3)) + 1e-12)
+                loss = loss + self.gp_weight * jnp.mean(
+                    jnp.square(norms - 1.0))
+            return loss, ({**state.D.state, **mut}, w_dist)
 
         (_, (d_state, w_dist)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(d_params)

@@ -90,3 +90,28 @@ def test_wgan_steps_and_clipping():
     mx = max(float(jnp.abs(l).max())
              for l in jax.tree_util.tree_leaves(clipped))
     assert mx <= 0.01 + 1e-6
+
+
+def test_wgan_gp_variant():
+    """WGAN-GP (the reference's empty wgan_gp_model.py placeholder)."""
+    cfg = WGanConfig(image_size=32, noise_dim=16, ngf=8, ndf=8, num_layers=2,
+                     num_critics=2)
+    tc = TrainConfig(batch_size=4, optimizer="adam", lr=(1e-4,),
+                     scheduler="const")
+    steps = WGanSteps(cfg, tc, iters_per_epoch=10, num_epochs=2,
+                      gp_weight=10.0)
+    state = steps.init_state(jax.random.PRNGKey(0))
+    batches = {"imgs": jax.random.uniform(jax.random.PRNGKey(1),
+                                          (2, 4, 32, 32, 3), minval=-1,
+                                          maxval=1)}
+    state, metrics = steps.jit_super_step(state, batches, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["w_dist"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+    # GP mode must NOT clip weights: run several steps, weights may exceed
+    # the default clipping_limit
+    for i in range(3):
+        state, metrics = steps.jit_super_step(state, batches,
+                                              jax.random.PRNGKey(3 + i))
+    mx = max(float(jnp.abs(l).max())
+             for l in jax.tree_util.tree_leaves(state.D.params))
+    assert mx > cfg.clipping_limit

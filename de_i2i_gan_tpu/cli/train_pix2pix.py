@@ -1,0 +1,62 @@
+"""Paired image-to-image (pix2pix / pix2pixHD-style) training entry point —
+the BASELINE.json north-star workload.
+
+Preserves the public pix2pix CLI surface:
+
+    python -m de_i2i_gan_tpu.cli.train_pix2pix \
+        --name edges2photos --dataroot ./datasets/edges2photos \
+        --load_size 286 --crop_size 256 --lambda_L1 100 \
+        --netG resnet --netD multiscale --gan_mode lsgan
+
+`--dataroot synthetic` trains on the procedural paired dataset (no files).
+The trainer runs the scan-fused alternating G/D step (`--iters_per_launch`
+iterations per device launch) with an EMA generator.
+"""
+from __future__ import annotations
+
+import sys
+
+
+def build_dataset(opt, phase: str):
+    from de_i2i_gan_tpu.data.paired import (AlignedDataset,
+                                            SyntheticPairedDataset)
+    if opt.dataroot is None or str(opt.dataroot) == "synthetic":
+        return SyntheticPairedDataset(
+            image_size=opt.crop_size,
+            length=512 if phase == "train" else 64, seed=opt.seed)
+    return AlignedDataset(opt.dataroot, phase, load_size=opt.load_size,
+                          crop_size=opt.crop_size, flip=not opt.no_flip,
+                          direction=opt.direction, seed=opt.seed)
+
+
+def main(argv=None):
+    from de_i2i_gan_tpu.config.options import (
+        Options, to_pix2pix_config, to_train_config)
+    from de_i2i_gan_tpu.data.paired import PairedLoader
+    from de_i2i_gan_tpu.train.trainer import Pix2PixTrainer
+
+    opt = Options("pix2pix_train").parse(argv)
+    cfg = to_pix2pix_config(opt)
+    tcfg = to_train_config(opt)
+
+    dataset = build_dataset(opt, "train")
+    num_d = opt.num_D if opt.netD == "multiscale" else 1
+    loader = PairedLoader(dataset, opt.batch_size, seed=opt.seed,
+                          iters_per_launch=max(opt.iters_per_launch, 1))
+    print(f"{len(dataset)} paired train images")
+
+    trainer = Pix2PixTrainer(
+        cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
+        num_d_scales=num_d, n_layers_d=opt.n_layers_D,
+        gan_kind=opt.gan_mode, lambda_l1=opt.lambda_L1,
+        lambda_fm=opt.lambda_feat,
+        iters_per_epoch=len(loader) * max(opt.iters_per_launch, 1),
+        num_epochs=opt.num_epochs, continue_training=opt.continue_training,
+        save_latest_freq=opt.save_latest_freq,
+        save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
+        seed=opt.seed)
+    trainer.train(loader)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -150,6 +150,41 @@ def add_wgan_args(p: argparse.ArgumentParser):
     return p
 
 
+def add_pix2pix_args(p: argparse.ArgumentParser):
+    """Public pix2pix/pix2pixHD CLI surface (the BASELINE.json north star
+    names --dataroot --load_size --crop_size --lambda_L1 --netG --netD as
+    the flags a reference user expects to keep working)."""
+    p.set_defaults(model="pix2pix", image_size=256, batch_size=1,
+                   num_critics=1, lr=[2e-4], dataset_name="aligned",
+                   num_epochs=200, num_iters=-1, ema_decay=0.999,
+                   label_nc=2)
+    p.add_argument("--dataroot", type=Path, default=None,
+                   help="folder with <phase>/ aligned A|B images; "
+                        "'synthetic' for the procedural paired dataset")
+    p.add_argument("--direction", type=str, default="AtoB",
+                   help="[AtoB|BtoA]")
+    p.add_argument("--load_size", type=int, default=286,
+                   help="scale images to this size before cropping")
+    p.add_argument("--crop_size", type=int, default=256,
+                   help="final (train) crop fed to the nets")
+    p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--lambda_L1", type=float, default=100.0)
+    p.add_argument("--lambda_feat", type=float, default=10.0,
+                   help="multi-scale feature-matching weight (pix2pixHD)")
+    p.add_argument("--gan_mode", type=str, default="lsgan",
+                   help="[lsgan|hinge]")
+    p.add_argument("--netG", type=str, default="resnet",
+                   help="[resnet|unet] generator backbone")
+    p.add_argument("--netD", type=str, default="multiscale",
+                   help="[basic|multiscale] discriminator")
+    p.add_argument("--num_D", type=int, default=2,
+                   help="discriminator pyramid scales (netD=multiscale)")
+    p.add_argument("--n_layers_D", type=int, default=3)
+    # TPU-native extension: iterations fused per device launch (lax.scan)
+    p.add_argument("--iters_per_launch", type=int, default=4)
+    return p
+
+
 def add_vit_args(p: argparse.ArgumentParser):
     p.set_defaults(model="vit", image_size=224, optimizer="adamw",
                    scheduler="cos", num_epochs=20, lr=[1e-4])
@@ -175,6 +210,10 @@ class Options:
         "wgan_test": (add_base_args, add_test_args, add_wgan_args),
         "vit_train": (add_base_args, add_train_args, add_vit_args),
         "vit_test": (add_base_args, add_test_args, add_vit_args),
+        "pix2pix_train": (add_base_args, add_defectgan_args, add_train_args,
+                          add_pix2pix_args),
+        "pix2pix_test": (add_base_args, add_defectgan_args, add_test_args,
+                         add_pix2pix_args),
     }
 
     def __init__(self, kind: str):
@@ -280,6 +319,20 @@ def to_train_config(opt, clf_loss_type: str = "bce") -> TrainConfig:
         loss_weight=tuple(getattr(opt, "loss_weight", (2, 5, 5, 5, 1))),
         diff_aug=getattr(opt, "diff_aug", ""), clf_loss_type=clf_loss_type,
         ema_decay=getattr(opt, "ema_decay", 0.0))
+
+
+def to_pix2pix_config(opt) -> DefectGanConfig:
+    """crop_size is the model's working resolution; netG unet -> skip_conn;
+    cycle_gan=True returns the raw tanh output (full-image synthesis — no
+    defect-overlay composition for paired translation)."""
+    return DefectGanConfig(
+        image_size=opt.crop_size, input_nc=opt.input_nc,
+        output_nc=opt.output_nc, label_nc=opt.label_nc, ngf=opt.ngf,
+        num_scales=opt.num_scales, num_res=opt.num_res,
+        add_noise=opt.add_noise, style_norm_block_type="spade",
+        hidden_nc=opt.hidden_nc, ndf=opt.ndf, num_layers=opt.num_layers,
+        cycle_gan=True, skip_conn=(opt.netG == "unet"),
+        use_spectral=opt.use_spectral, compute_dtype=opt.compute_dtype)
 
 
 def to_mae_config(opt) -> MAEConfig:

@@ -32,8 +32,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from de_i2i_gan_tpu.nn.layers import Conv2d, Dense, avg_pool, upsample_nearest
+import functools
+
+from de_i2i_gan_tpu.nn.layers import (Conv2d as _Conv2d, Dense as _Dense,
+                                      avg_pool, he_init, upsample_nearest)
 from de_i2i_gan_tpu.nn.normalization import instance_norm
+
+# the reference he_inits every Conv2d/Linear in these nets
+# (core/solver.py:75-79); weight-import parity is unaffected (loads overwrite)
+Conv2d = functools.partial(_Conv2d, kernel_init=he_init)
+Dense = functools.partial(_Dense, kernel_init=he_init)
 
 Dtype = Any
 _SQRT2 = math.sqrt(2.0)

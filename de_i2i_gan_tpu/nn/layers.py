@@ -21,6 +21,12 @@ from flax import linen as nn
 Dtype = Any
 PaddingLike = Union[int, str, Tuple[int, int]]
 
+# kaiming_normal_(fan_in, relu) equivalent: std = sqrt(2 / fan_in). The
+# stargan-v2 reference applies this to every Conv2d/Linear in G/D/mapping/
+# style-encoder via network.apply(utils.he_init) (core/solver.py:75-79,
+# core/utils.py he_init); defectGAN nets keep the normal(0.02) default.
+he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
 
 def _pair(v) -> Tuple[int, int]:
     if isinstance(v, (tuple, list)):

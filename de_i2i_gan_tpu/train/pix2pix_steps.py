@@ -117,13 +117,14 @@ class Pix2PixSteps:
     def __init__(self, cfg: DefectGanConfig, tcfg: TrainConfig,
                  num_d_scales: int = 2, gan_kind: str = "lsgan",
                  lambda_l1: float = 100.0, lambda_fm: float = 10.0,
-                 iters_per_epoch: int = 1000, num_epochs: int = 100):
+                 iters_per_epoch: int = 1000, num_epochs: int = 100,
+                 n_layers_d: int = 3):
         self.cfg, self.tcfg = cfg, tcfg
         self.gan_kind = gan_kind
         self.lambda_l1 = lambda_l1
         self.lambda_fm = lambda_fm
         self.G = DefectGanGenerator(cfg)
-        self.D = MultiScaleDiscriminator(num_d_scales, cfg.ndf, 3,
+        self.D = MultiScaleDiscriminator(num_d_scales, cfg.ndf, n_layers_d,
                                          dtype=cfg.dtype)
         self.tx_G = make_optimizer(tcfg, tcfg.lr_g, iters_per_epoch,
                                    num_epochs)
@@ -224,6 +225,36 @@ class Pix2PixSteps:
         state, gm = self.g_step(state, batch, k2)
         return state, {**dm, **gm}
 
+    def super_step(self, state, batches, rng):
+        """Scan train_step over a stacked (iters_per_launch, B, ...) batch so
+        one device launch advances several iterations (same pattern as
+        DefectGanSteps.super_step — host dispatch overhead amortized)."""
+        def body(carry, sub):
+            st, key = carry
+            key, k = jax.random.split(key)
+            st, m = self.train_step(st, sub, k)
+            return (st, key), m
+
+        (state, rng), ms = jax.lax.scan(body, (state, rng), batches)
+        return state, {k: v.mean() for k, v in ms.items()}
+
+    def generate(self, state: GANTrainState, x: jax.Array,
+                 use_ema: bool = True):
+        """Folder-inference forward: EMA generator when available."""
+        params = state.ema_G if (use_ema and state.ema_G is not None) \
+            else state.G.params
+        out, _ = self._gen(params, state.G.state, x, self._labels(x),
+                           jax.random.PRNGKey(0), train=False)
+        return out
+
     @functools.cached_property
     def jit_train_step(self):
         return jax.jit(self.train_step, donate_argnums=0)
+
+    @functools.cached_property
+    def jit_super_step(self):
+        return jax.jit(self.super_step, donate_argnums=0)
+
+    @functools.cached_property
+    def jit_generate(self):
+        return jax.jit(self.generate, static_argnames=("use_ema",))

@@ -108,13 +108,76 @@ class StarGANv2Solver:
             else None
 
         def adamw(lr):
-            return optax.adamw(lr, b1=cfg.beta1, b2=cfg.beta2,
-                               weight_decay=cfg.weight_decay)
+            # torch.optim.Adam(weight_decay=1e-4) (solver.py:48-56) couples
+            # the L2 term into the gradient BEFORE adaptive scaling — chain
+            # add_decayed_weights ahead of the adam transform rather than
+            # using optax.adamw's decoupled decay
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
+                optax.scale(-lr))
 
         self.tx_G = adamw(cfg.lr)
         self.tx_D = adamw(cfg.lr)
         self.tx_M = adamw(cfg.f_lr) if adain else None
         self.tx_S = adamw(cfg.lr) if adain else None
+
+        # frozen nets optionally embedded into the jitted G loss
+        # (solver.py:515 s_pred = get_style_code(..., x_fake);
+        #  solver.py:529 masks = nets.fan.get_heatmap(x_fake))
+        self._vit = None
+        self._vit_vars = None
+        self._fan = None
+        self._fan_vars = None
+        self._warned = set()
+
+    def set_frozen_nets(self, vit_variables=None, fan_variables=None,
+                        vit_model_size: str = "base"):
+        """Attach the frozen ViT feature extractor and/or FAN heatmapper so
+        the jitted G loss matches the reference graph exactly: sean-mode
+        style reconstruction embeds x_fake through the ViT (gradients flow
+        through x_fake, not the frozen params), and the cycle pass recomputes
+        hpf masks from x_fake (under stop_gradient — the reference's
+        get_heatmap is @torch.no_grad(), wing.py:248)."""
+        if vit_variables is not None:
+            from de_i2i_gan_tpu.models.vit import ViTEncoder
+            self._vit = ViTEncoder(model_size=vit_model_size,
+                                   dtype=self.cfg.dtype)
+            self._vit_vars = vit_variables
+        if fan_variables is not None:
+            from de_i2i_gan_tpu.models.wing import FAN
+            self._fan = FAN()
+            self._fan_vars = fan_variables
+        # re-jit with the new loss graph
+        for prop in ("jit_train_step", "jit_pretrain_step", "jit_generate"):
+            self.__dict__.pop(prop, None)
+
+    def _warn_once(self, key: str, msg: str):
+        if key not in self._warned:
+            self._warned.add(key)
+            import logging
+            logging.getLogger(__name__).warning(msg)
+
+    def _embed_fake(self, x_fake):
+        """Frozen-ViT CLS embedding of x_fake, (N, 1, embed_nc)."""
+        params = jax.lax.stop_gradient(self._vit_vars)
+        return self._vit.apply(params, x_fake)[:, 0, :][:, None, :]
+
+    def _heatmaps_fake(self, x_fake):
+        """FAN get_heatmap(x_fake) in-graph (wing.py:248-261), no grads."""
+        from de_i2i_gan_tpu.models.wing import preprocess_heatmaps
+        x = jax.lax.stop_gradient(x_fake.astype(jnp.float32))
+        n = x.shape[0]
+        if x.shape[1] != 256:
+            x = jax.image.resize(x, (n, 256, 256, 3), "bilinear")
+        out, _ = self.net_fan_apply(x * 0.5 + 0.5)
+        hm = out[..., :-1]
+        hm = jax.image.resize(hm, (n, 256, 256, hm.shape[-1]), "bilinear")
+        m1, m2 = preprocess_heatmaps(hm)
+        return [jax.lax.stop_gradient(m1), jax.lax.stop_gradient(m2)]
+
+    def net_fan_apply(self, x01):
+        return self._fan.apply(self._fan_vars, x01)
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array) -> SolverState:
@@ -248,10 +311,19 @@ class StarGANv2Solver:
         if adain:
             s_pred = self.S.apply({"params": s_params}, x_fake, y_trg)
             loss_sty = l1(s_pred, s_trg)
+        elif self._vit is not None:
+            # sean: embed x_fake through the frozen ViT in-graph, matching
+            # s_pred = nets.feature_extractor(x_fake) (solver.py:515);
+            # (N,1,embed_nc) broadcasts against s_trg (N,k,embed_nc)
+            loss_sty = l1(self._embed_fake(x_fake), s_trg)
         else:
-            # sean: reconstruction in embedding space needs the frozen ViT on
-            # x_fake; supplied by the host loop when available
             s_pred = batch.get("s_fake_pred")
+            if s_pred is None:
+                self._warn_once(
+                    "sean_sty",
+                    "sean mode without set_frozen_nets(vit_variables=...): "
+                    "lambda_sty style-reconstruction loss is INACTIVE "
+                    "(reference solver.py:515 embeds x_fake via frozen ViT)")
             loss_sty = l1(s_pred, s_trg) if s_pred is not None else jnp.zeros(())
 
         # diversity-sensitive loss (solver.py:519-527)
@@ -260,11 +332,23 @@ class StarGANv2Solver:
                                      masks, track_stats=track)
         loss_ds = l1(x_fake, jax.lax.stop_gradient(x_fake2))
 
-        # cycle consistency (solver.py:529-533)
+        # cycle consistency (solver.py:529-533): the reference RECOMPUTES the
+        # hpf masks from x_fake (masks = nets.fan.get_heatmap(x_fake))
+        if cfg.w_hpf > 0 and self._fan is not None:
+            masks_fake = self._heatmaps_fake(x_fake)
+        else:
+            if cfg.w_hpf > 0 and masks is not None \
+                    and "masks_fake" not in batch:
+                self._warn_once(
+                    "cyc_masks",
+                    "w_hpf > 0 without set_frozen_nets(fan_variables=...): "
+                    "cycle pass reuses SOURCE masks instead of recomputing "
+                    "fan.get_heatmap(x_fake) (reference solver.py:529)")
+            masks_fake = batch.get("masks_fake", masks)
         s_org = style("src", False, x_override=x_real) if adain \
             else batch["s_src"]
         x_rec, g_state = self._gen(g_params, g_state, x_fake, s_org, y_org,
-                                   batch.get("masks_fake", masks))
+                                   masks_fake)
         loss_cyc = l1(x_rec, x_real)
 
         loss = (loss_adv + cfg.lambda_sty * loss_sty -
@@ -450,6 +534,8 @@ class StarGANv2Solver:
                 if not latent else self.M.apply({"params": m_params},
                                                 batch["z_ref"], y_org)
             loss_sty = l1(s_pred, s)
+        elif self._vit is not None:
+            loss_sty = l1(self._embed_fake(x_fake), s)
         else:
             s_pred = batch.get("s_fake_pred")
             loss_sty = l1(s_pred, s) if s_pred is not None else jnp.zeros(())

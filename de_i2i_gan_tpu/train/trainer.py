@@ -281,6 +281,133 @@ class MAETrainer:
         return self.state
 
 
+class Pix2PixTrainer:
+    """Paired-i2i (pix2pix/pix2pixHD-style) loop over Pix2PixSteps: scan-fused
+    launches, async metric drain + NaN guard, latest/epoch checkpoints,
+    TensorBoard input|fake|target panels."""
+
+    def __init__(self, cfg: DefectGanConfig, tcfg: TrainConfig, *,
+                 name: str = "pix2pix_exp", ckpt_dir: Path = Path("./ckpt"),
+                 log_dir: Optional[Path] = Path("./logs"),
+                 num_d_scales: int = 2, n_layers_d: int = 3,
+                 gan_kind: str = "lsgan", lambda_l1: float = 100.0,
+                 lambda_fm: float = 10.0, iters_per_epoch: int = 1000,
+                 num_epochs: int = 200, continue_training: bool = False,
+                 save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
+                 save_img_freq: int = 4, seed: int = 123):
+        from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
+        from de_i2i_gan_tpu.utils.guards import NaNGuard
+        self.cfg, self.tcfg = cfg, tcfg
+        self.name = name
+        self.ckpt_dir = Path(ckpt_dir)
+        self.log_dir = Path(log_dir) / name if log_dir else None
+        self.save_latest_freq = save_latest_freq
+        self.save_ckpt_freq = save_ckpt_freq
+        self.save_img_freq = save_img_freq
+        if num_epochs == -1:
+            num_epochs = math.ceil(tcfg.num_iters / max(iters_per_epoch, 1))
+        self.num_epochs = num_epochs
+        self.steps = Pix2PixSteps(cfg, tcfg, num_d_scales=num_d_scales,
+                                  gan_kind=gan_kind, lambda_l1=lambda_l1,
+                                  lambda_fm=lambda_fm,
+                                  iters_per_epoch=iters_per_epoch,
+                                  num_epochs=num_epochs,
+                                  n_layers_d=n_layers_d)
+        self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self._guard = NaNGuard()
+        self._pending = []
+        self.first_epoch, self.iters = 1, 0
+        if continue_training and latest_exists(self.ckpt_dir, name):
+            self.state = load_checkpoint(self.ckpt_dir, name, "latest",
+                                         self.state)
+            self.first_epoch, self.iters = read_iter_record(self.ckpt_dir,
+                                                            name)
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+    def _drain_metrics(self, sums, counts):
+        if not self._pending:
+            return
+        from de_i2i_gan_tpu.utils.guards import metrics_finite
+        fetched = jax.device_get(self._pending)
+        self._pending = []
+        bad = next((m for m in fetched if not metrics_finite(m)), None)
+        if bad is None:
+            for metrics in fetched:
+                for k, v in metrics.items():
+                    sums[k] += float(v)
+                    counts[k] += 1
+            self._guard.update(self.state, fetched[-1])
+        else:
+            self.state, _ = self._guard.update(self.state, bad)
+
+    def train(self, loader, val_loader=None, progress: bool = True):
+        writer = TBWriter(self.log_dir)
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            tqdm = None
+        ipl = getattr(loader, "iters_per_launch", 1)
+        from de_i2i_gan_tpu.data.pipeline import device_prefetch
+        step_fn = self.steps.jit_super_step if ipl > 1 \
+            else self.steps.jit_train_step
+        vis_batch = None
+        for epoch in range(self.first_epoch, self.num_epochs + 1):
+            sums, counts = defaultdict(float), defaultdict(int)
+            it = device_prefetch(loader)
+            bar = tqdm(it, total=len(loader), colour="MAGENTA",
+                       desc=f"pix2pix [{epoch}/{self.num_epochs}]") \
+                if (progress and tqdm) else it
+            for batch in bar:
+                if vis_batch is None:
+                    vis_batch = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x[0] if ipl > 1 else x)[:4],
+                        batch)
+                self._rng, key = jax.random.split(self._rng)
+                new_state, metrics = step_fn(self.state, batch, key)
+                self._pending.append(metrics)
+                self.state = new_state
+                self.iters += ipl
+                if len(self._pending) >= 4:
+                    self._drain_metrics(sums, counts)
+                if progress and tqdm and counts:
+                    bar.set_postfix({k: f"{sums[k] / counts[k]:.4f}"
+                                     for k in ("d_loss", "adv", "l1")
+                                     if counts.get(k)})
+                if self.iters % self.save_latest_freq < ipl:
+                    save_checkpoint(self.ckpt_dir, self.name, "latest",
+                                    self.state, epoch=epoch, iters=self.iters)
+            self._drain_metrics(sums, counts)
+            means = {k: sums[k] / max(counts[k], 1) for k in sums}
+            writer.scalars("Losses/pix2pix", means, epoch)
+            if epoch % self.save_img_freq == 0 and vis_batch is not None:
+                fake = np.asarray(self.steps.jit_generate(
+                    self.state, jnp.asarray(vis_batch["input"])))
+                panel = np.concatenate(
+                    [np.concatenate(
+                        [vis_batch["input"][i], fake[i],
+                         vis_batch["target"][i]], axis=1)
+                     for i in range(fake.shape[0])], axis=0)
+                writer.image("Images/input_fake_target", (panel + 1) / 2,
+                             epoch)
+            save_checkpoint(self.ckpt_dir, self.name, "latest", self.state,
+                            epoch=epoch, iters=self.iters)
+            if epoch % self.save_ckpt_freq == 0:
+                save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
+                                epoch=epoch, iters=self.iters)
+                if val_loader is not None:
+                    vals = defaultdict(list)
+                    for vb in val_loader:
+                        fake = self.steps.jit_generate(
+                            self.state, jnp.asarray(vb["input"]))
+                        vals["val_l1"].append(float(jnp.mean(jnp.abs(
+                            fake - jnp.asarray(vb["target"])))))
+                    for k, v in vals.items():
+                        writer.scalar(f"Metrics/{k}", float(np.mean(v)),
+                                      epoch)
+        writer.close()
+        return self.state
+
+
 class WGanTrainer:
     """WGAN loop (trainers/wgan_trainer.py:18-138): weight clipping inside the
     step, fixed-noise sample grids per epoch."""

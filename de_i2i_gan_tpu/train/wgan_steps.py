@@ -82,12 +82,18 @@ class WGanSteps:
             fake, _ = self._gen(state.G.params, state.G.state, noise,
                                 train=False)
             fake = jax.lax.stop_gradient(fake)
-            duo = jnp.concatenate([real, fake], axis=0)
-            variables = {"params": dp, **state.D.state}
-            logits, mut = self.D.apply(variables, duo, train=True,
-                                       mutable=["batch_stats"])
+            # two sequential train-mode forwards, matching the reference's
+            # netD(real) then netD(fake) (wgan_trainer.py:128-131): the
+            # critic uses BatchNorm, so a single mixed real+fake batch would
+            # compute joint statistics and change critic outputs/dynamics
+            real_logits, mut = self.D.apply(
+                {"params": dp, **state.D.state}, real, train=True,
+                mutable=["batch_stats"])
+            fake_logits, mut = self.D.apply(
+                {"params": dp, **state.D.state, **mut}, fake, train=True,
+                mutable=["batch_stats"])
             b = real.shape[0]
-            w_dist = logits[:b].mean() - logits[b:].mean()
+            w_dist = real_logits.mean() - fake_logits.mean()
             loss = -w_dist
             if self.gp_weight > 0:
                 # interpolated gradient penalty: (||dD/dx_hat|| - 1)^2

@@ -48,5 +48,10 @@ class NaNGuard:
                 f"training diverged: {self._strikes} consecutive non-finite "
                 f"steps (last metrics: { {k: float(v) for k, v in metrics.items()} })")
         if self._snapshot is not None:
-            return self._snapshot, False
+            # hand out a COPY: the caller feeds the returned state into a
+            # donate_argnums=0 jitted step, which would invalidate the
+            # snapshot's buffers and make a second restore return deleted
+            # arrays exactly when rollback is needed
+            import jax.numpy as jnp
+            return jax.tree_util.tree_map(jnp.copy, self._snapshot), False
         return state, False

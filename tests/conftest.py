@@ -22,10 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: recompiling identical test programs dominates
-# wall time on small hosts
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/de_i2i_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+# wall time on small hosts. Must go through jax.config.update — env vars set
+# after `import jax` are never re-read (jax snapshots its config at import).
+jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 import pytest

@@ -1,13 +1,32 @@
-"""Benchmark: DefectGAN 256x256 alternating G+D training throughput per chip.
+"""Benchmark suite: paired-i2i (pix2pix) + DefectGAN training throughput and
+MFU on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The primary metric is the north-star workload
+(BASELINE.json: "256x256 paired-i2i training at >=3x A100 images/sec/chip"):
+`pix2pix_256x256_train_img_per_sec_per_chip`, with per-workload detail
+(img/s, std across reps, model FLOPs per image, MFU) in `extra`.
 
-Baseline: the reference publishes no throughput numbers
-(BASELINE.md: "not published"); its only wall-clock training datum is the
-vendored StarGAN v2 recipe — 100k iterations at batch 8, 256x256, in ~3 days
-on one V100 (stargan-v2/README.md:127) ≈ 3.09 images/sec. We use that as the
-reference throughput denominator. The north star (BASELINE.json) asks for
->= 3x A100-class img/s/chip at 256^2.
+Baseline denominators (the reference publishes NO throughput numbers, so
+both are derived and the derivation is recorded here):
+
+* `REF_SGV2_V100` = 3.09 img/s — the only wall-clock training datum in the
+  reference: StarGAN v2, 100k iters, batch 8, 256^2, ~3 days on one V100
+  (stargan-v2/README.md:127).
+* `REF_P2P_A100` = 25.0 img/s — FLOPs-matched transfer of that datum to the
+  paired-i2i workload on an A100:
+    - our solver's 256^2 adain train iteration costs 2.756 TFLOP/img
+      (jax lower().cost_analysis(), fp32, batch 8), so 3.09 img/s implies
+      the torch reference sustains 8.52 TFLOP/s = 54% of V100 fp32 peak
+      (15.7 TF) — plausible for a cuDNN-conv-dominated net;
+    - assuming the same achieved efficiency on A100 fp32 (19.5 TF peak)
+      and our pix2pix train step's 0.422 TFLOP/img:
+      0.54 * 19.5e12 / 0.422e12 = 25.0 img/s.
+  The >=3x target therefore sits at ~75 img/s/chip. (If the torch reference
+  ran TF32 convs the denominator would rise, but memory-bound ops do not
+  scale with TF32 peak; 25 img/s is the defensible fp32 transfer.)
+
+MFU = model FLOPs/s divided by the chip's bf16 peak (TPU v5e: 197 TFLOP/s).
+FLOPs come from XLA cost analysis of the exact compiled program.
 """
 from __future__ import annotations
 
@@ -16,27 +35,113 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-REFERENCE_IMG_PER_SEC = 3.09  # stargan-v2/README.md:127 (V100, 256^2, batch 8)
+REF_SGV2_V100 = 3.09   # img/s, stargan-v2/README.md:127 (V100, 256^2, b8)
+REF_P2P_A100 = 25.0    # img/s, FLOPs-matched transfer (docstring derivation)
+
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # bf16
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
 
 
-def main():
+def _program_flops(fn, *args):
+    """Model FLOPs of one call, from the pre-optimization XLA cost analysis.
+
+    NOTE: cost analysis counts a lax.scan BODY once regardless of trip count
+    (verified: a 2-trip scanned train step reports the same flops as one
+    unscanned step), so callers must lower UN-scanned sub-programs and
+    multiply by the trip count themselves. Calibration: an 8192^3 bf16
+    matmul reports exactly 2N^3, and lowered vs compiled analysis agree
+    within 0.4% on the full train step.
+    """
+    shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        args)
+    # model flops are platform-independent; the TPU (axon) backend returns
+    # None from lowered cost_analysis, so lower against CPU
+    for kw in ({}, {"backend": "cpu"}):
+        try:
+            ca = jax.jit(fn, **kw).lower(*shapes).cost_analysis()
+            if ca and ca.get("flops"):
+                return float(ca["flops"])
+        except Exception:
+            pass
+    return None
+
+
+def _time_reps(step, state, batch, n_iters: int, n_reps: int):
+    """Timed reps; syncs by fetching a metric VALUE (on the axon TPU tunnel
+    block_until_ready does not round-trip)."""
+    # warmup + compile
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    float(next(iter(metrics.values())))
+    times = []
+    for r in range(n_reps):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, metrics = step(state, batch,
+                                  jax.random.PRNGKey(3 + r * n_iters + i))
+        float(next(iter(metrics.values())))
+        times.append(time.perf_counter() - t0)
+    return np.asarray(times)
+
+
+def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
+                  n_iters: int, n_reps: int = 3):
+    from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
+    from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
+
+    cfg = DefectGanConfig(
+        image_size=size, cycle_gan=True,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
+    tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
+    steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
+                         num_epochs=200)
+    state = steps.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    batch_t = {
+        "input": jax.random.uniform(k, (ipl, batch, size, size, 3),
+                                    minval=-1, maxval=1),
+        "target": jax.random.uniform(k, (ipl, batch, size, size, 3),
+                                     minval=-1, maxval=1),
+    }
+    step = steps.jit_super_step
+    # flops: ipl scan trips of one train_step (see _program_flops note)
+    sub = jax.tree_util.tree_map(lambda x: x[0], batch_t)
+    flops = _program_flops(steps.train_step, state, sub,
+                           jax.random.PRNGKey(2))
+    flops = flops * ipl if flops else None
+    times = _time_reps(step, state, batch_t, n_iters, n_reps)
+    imgs_per_launch = ipl * batch
+    img_s = imgs_per_launch * n_iters / times.mean()
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "img_per_sec_std": round(float(
+            imgs_per_launch * n_iters * times.std() / times.mean() ** 2), 2),
+        "tflop_per_img": (round(flops / imgs_per_launch / 1e12, 4)
+                          if flops else None),
+        "flops_per_launch": flops,
+    }
+
+
+def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
+                    n_reps: int = 3):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    batch = 8 if on_tpu else 2
-    size = 256 if on_tpu else 64
 
     cfg = DefectGanConfig(
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
         fused_g_forward=True,
-    )
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
     tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))
     steps = DefectGanSteps(cfg, tcfg, iters_per_epoch=1000, num_epochs=100)
     state = steps.init_state(jax.random.PRNGKey(0))
-
     k = jax.random.PRNGKey(1)
     nc = tcfg.num_critics
     batches = {
@@ -47,30 +152,76 @@ def main():
         "df_labels": jnp.tile(
             jnp.eye(cfg.label_nc)[1][None, None], (nc, batch, 1)),
     }
-
     step = steps.jit_super_step
-    # warm up + compile; sync by fetching a metric VALUE — on the axon TPU
-    # tunnel block_until_ready does not round-trip
-    state, metrics = step(state, batches, jax.random.PRNGKey(2))
-    float(metrics["rec"])
+    # super_step = nc scanned d_steps + one g_step (see _program_flops note)
+    sub = jax.tree_util.tree_map(lambda x: x[0], batches)
+    f_d = _program_flops(steps.d_step, state, sub, jax.random.PRNGKey(2))
+    f_g = _program_flops(steps.g_step, state, sub, jax.random.PRNGKey(2))
+    flops = (nc * f_d + f_g) if (f_d and f_g) else None
+    times = _time_reps(step, state, batches, n_iters, n_reps)
+    imgs_per_launch = nc * batch
+    img_s = imgs_per_launch * n_iters / times.mean()
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "img_per_sec_std": round(float(
+            imgs_per_launch * n_iters * times.std() / times.mean() ** 2), 2),
+        "tflop_per_img": (round(flops / imgs_per_launch / 1e12, 4)
+                          if flops else None),
+        "flops_per_launch": flops,
+    }
 
-    n_iters = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, metrics = step(state, batches, jax.random.PRNGKey(3 + i))
-    float(metrics["rec"])
-    dt = time.perf_counter() - t0
 
-    # one super-step == num_critics reference iterations, each consuming a
-    # defect batch (defectgan_trainer.py:96-109)
-    imgs = n_iters * nc * batch
-    img_per_sec = imgs / dt
-    print(json.dumps({
-        "metric": f"defectgan_{size}x{size}_train_img_per_sec_per_chip",
-        "value": round(img_per_sec, 2),
+def _mfu(entry, peak):
+    if not entry.get("tflop_per_img") or not peak:
+        return None
+    return round(entry["tflop_per_img"] * 1e12 * entry["img_per_sec"] / peak,
+                 4)
+
+
+def main():
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    peak = PEAK_FLOPS.get(dev.device_kind) if on_tpu else None
+
+    if on_tpu:
+        p2p = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8)
+        p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
+        dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)
+    else:  # CPU smoke path (tiny shapes, structure identical)
+        p2p = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2, n_reps=2)
+        p2p_hd = bench_pix2pix(64, 1, ipl=1, on_tpu=False, n_iters=2,
+                               n_reps=2)
+        dg = bench_defectgan(64, 2, on_tpu=False, n_iters=2, n_reps=2)
+
+    for e in (p2p, p2p_hd, dg):
+        e["mfu"] = _mfu(e, peak)
+        e.pop("flops_per_launch", None)
+
+    out = {
+        "metric": "pix2pix_256x256_train_img_per_sec_per_chip",
+        "value": p2p["img_per_sec"],
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-    }))
+        # baseline: FLOPs-matched torch-reference estimate on A100 fp32
+        # (25.0 img/s; derivation in the module docstring). >=3.0 here means
+        # the north-star "3x A100" target is met.
+        "vs_baseline": round(p2p["img_per_sec"] / REF_P2P_A100, 2),
+        "mfu": p2p["mfu"],
+        "extra": {
+            "device": f"{dev.platform}:{dev.device_kind}",
+            "pix2pix_256": p2p,
+            "pix2pix_512_multiscaleD": p2p_hd,
+            "defectgan_256": {
+                **dg,
+                "vs_sgv2_v100": round(dg["img_per_sec"] / REF_SGV2_V100, 2),
+            },
+            "baselines": {
+                "ref_p2p_a100_img_s": REF_P2P_A100,
+                "ref_sgv2_v100_img_s": REF_SGV2_V100,
+                "peak_flops": peak,
+            },
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

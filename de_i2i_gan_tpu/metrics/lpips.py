@@ -52,8 +52,9 @@ class AlexNetFeatures(nn.Module):
 
 
 def _unit_normalize(x, eps=1e-10):
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / (norm + eps)
+    # exact reference form: x * rsqrt(sum(x^2) + eps) (lpips.py:16-17)
+    return x * jax.lax.rsqrt(
+        jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
 
 
 class LPIPS(nn.Module):
@@ -103,6 +104,7 @@ def load_torch_lpips_weights(alexnet_path: str, lin_path: str, variables):
         lin = lin.state_dict()
     for i in range(5):
         for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight",
+                    f"lpips_weights.{i}.main.1.weight",  # stargan-v2 ckpt
                     str(i)):
             if key in lin:
                 params[f"lin{i}"] = np.asarray(

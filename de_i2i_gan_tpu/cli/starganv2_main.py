@@ -23,7 +23,8 @@ def build_parser():
     p = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "sample", "eval"])
+                   choices=["train", "pretrain", "sample", "eval",
+                            "update_stats", "align"])
     p.add_argument("--img_size", type=int, default=256)
     p.add_argument("--num_domains", type=int, default=2)
     p.add_argument("--latent_dim", type=int, default=16)
@@ -65,9 +66,69 @@ def build_parser():
     p.add_argument("--save_every", type=int, default=10000)
     p.add_argument("--eval_every", type=int, default=50000)
     p.add_argument("--wing_ckpt", type=Path, default=None)
+    p.add_argument("--vit_path", type=str, default=None,
+                   help="HF ViT name/local path for the frozen sean-mode "
+                        "feature extractor (random init if omitted)")
     p.add_argument("--DiffAugment", type=str, default="")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    # MAE pretrain mode (main.py:171-175)
+    p.add_argument("--patch_size", type=int, default=32)
+    p.add_argument("--mask_ratio", type=float, default=0.65)
+    p.add_argument("--mask_token_type", type=str, default="position")
+    # update_stats mode: tracked styles required per domain (solver.py:391)
+    p.add_argument("--num_stats_samples", type=int, default=10000)
+    # align mode (main.py:143-145 -> core/wing.py align_faces)
+    p.add_argument("--inp_dir", type=Path, default=None)
+    p.add_argument("--out_dir", type=Path, default=None)
+    p.add_argument("--lm_path", type=Path, default=None,
+                   help="CelebA mean-landmarks file for FaceAligner")
     return p
+
+
+def _make_train_fetcher(args, img_dir, tf, solver=None):
+    """Source + reference fetcher; sean mode additionally wraps it with the
+    frozen-ViT style-embedding attacher (SEANInputFetcher) and, when a real
+    ViT is given, embeds it into the jitted G loss via set_frozen_nets."""
+    import jax
+    import jax.numpy as jnp
+    from de_i2i_gan_tpu.data.starganv2_data import (
+        BalancedLoader, ImageFolderDataset, InputFetcher,
+        RandomReferenceDataset, ReferenceDataset, SEANInputFetcher,
+        make_reference_loader)
+
+    src = BalancedLoader(ImageFolderDataset(img_dir, tf, args.seed),
+                         args.batch_size, seed=args.seed)
+    ref = make_reference_loader(ReferenceDataset(img_dir, tf, args.seed),
+                                args.batch_size, seed=args.seed + 1)
+    fetcher = InputFetcher(src, ref, args.latent_dim, args.norm_type,
+                           args.hidden_nc, args.seed)
+    if args.norm_type != "sean":
+        return fetcher
+    from de_i2i_gan_tpu.models.vit import (FeatureExtractor, ViTEncoder,
+                                           load_hf_vit_weights)
+    net = ViTEncoder()
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 224, 224, 3), jnp.float32))
+    if args.vit_path:
+        variables = load_hf_vit_weights(args.vit_path, variables)
+        if solver is not None:
+            # sean style-reconstruction loss embeds x_fake through the same
+            # frozen ViT in-graph (reference solver.py:515). Only with real
+            # weights: a random ViT adds a large compile/step cost for a
+            # meaningless loss term (the warn-once below covers that case).
+            solver.set_frozen_nets(vit_variables=variables)
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "sean mode without --vit_path: style embeddings come from a "
+            "randomly initialized ViT (shapes/flow exercised, styles "
+            "not semantic) and lambda_sty is inactive")
+    extractor = FeatureExtractor(variables)
+    style = BalancedLoader(
+        RandomReferenceDataset(img_dir, args.num_embeds, tf, args.seed),
+        args.batch_size, seed=args.seed + 2)
+    return SEANInputFetcher(fetcher, style, extractor, args.num_embeds,
+                            args.seed)
 
 
 def main(argv=None):
@@ -95,23 +156,30 @@ def main(argv=None):
         num_embeds=args.num_embeds, diff_aug=args.DiffAugment,
         compute_dtype=args.compute_dtype)
 
+    if args.mode == "align":
+        # offline face alignment (main.py:143-145 -> core/wing.py:407-431):
+        # no GAN state needed, just the frozen FAN + mean landmarks
+        return _align_faces(args)
+
     solver = StarGANv2Solver(cfg)
-    state = solver.init_state(jax.random.PRNGKey(args.seed))
+    if args.mode == "pretrain":
+        # MAE repair pretraining (main.py:76-112, solver.py:98-204): the
+        # mask token joins the G param tree/optimizer
+        state = solver.init_pretrain_state(
+            jax.random.PRNGKey(args.seed), mask_ratio=args.mask_ratio,
+            patch_size=args.patch_size,
+            mask_token_type=args.mask_token_type)
+    else:
+        state = solver.init_state(jax.random.PRNGKey(args.seed))
     ckpt_dir = args.checkpoint_dir
     if args.resume_iter > 0:
         state = load_checkpoint(ckpt_dir, "starganv2",
-                                f"{args.resume_iter:06d}", state)
+                                f"{args.resume_iter:06d}", state,
+                                strict=(args.mode != "update_stats"))
 
     if args.mode == "train":
         tf = TrainTransform(args.img_size, jitter=False, vflip=False)
-        src = BalancedLoader(ImageFolderDataset(args.train_img_dir, tf,
-                                                args.seed),
-                             args.batch_size, seed=args.seed)
-        ref = make_reference_loader(
-            ReferenceDataset(args.train_img_dir, tf, args.seed),
-            args.batch_size, seed=args.seed + 1)
-        fetcher = InputFetcher(src, ref, args.latent_dim, args.norm_type,
-                               args.hidden_nc, args.seed)
+        fetcher = _make_train_fetcher(args, args.train_img_dir, tf, solver)
         rng = jax.random.PRNGKey(args.seed)
         running = defaultdict(float)
         for i in range(args.resume_iter, args.total_iters):
@@ -148,7 +216,6 @@ def main(argv=None):
         inputs = next(fetcher)
         debug_image(solver, state, inputs, args.resume_iter, args.sample_dir)
         if args.norm_type == "adain":
-            import numpy as np
             z_list = [jnp.asarray(np.random.default_rng(i).standard_normal(
                 args.latent_dim).astype(np.float32)) for i in range(3)]
             grid = translate_using_latent(
@@ -161,6 +228,75 @@ def main(argv=None):
     elif args.mode == "eval":
         from de_i2i_gan_tpu.metrics.eval_starganv2 import evaluate_all_tasks
         evaluate_all_tasks(solver, state, args)
+    elif args.mode == "pretrain":
+        tf = TrainTransform(args.img_size, jitter=False, vflip=False)
+        fetcher = _make_train_fetcher(args, args.train_img_dir, tf, solver)
+        rng = jax.random.PRNGKey(args.seed)
+        running = defaultdict(float)
+        for i in range(args.resume_iter, args.total_iters):
+            batch = next(fetcher)
+            rng, key = jax.random.split(rng)
+            state, metrics = solver.jit_pretrain_step(state, batch, key)
+            for k, v in metrics.items():
+                running[k] += float(v)
+            if (i + 1) % args.print_every == 0:
+                log = " ".join(f"{k}: [{running[k] / args.print_every:.4f}]"
+                               for k in sorted(running))
+                print(f"Pretrain [{i + 1}/{args.total_iters}] {log}")
+                running.clear()
+            if (i + 1) % args.save_every == 0:
+                save_checkpoint(ckpt_dir, "starganv2_pretrain",
+                                f"{i + 1:06d}", state)
+        save_checkpoint(ckpt_dir, "starganv2_pretrain", "latest", state)
+    elif args.mode == "update_stats":
+        # sweep the EMA generator with track_running_stats until every
+        # domain has >= num_stats_samples tracked styles (solver.py:379-406)
+        assert args.norm_type == "sean", "Only SEAN needs to update stats"
+        tf = TrainTransform(args.img_size, jitter=False, vflip=False)
+        fetcher = _make_train_fetcher(args, args.val_img_dir, tf)
+        counts = np.zeros(args.num_domains, np.int64)
+        while counts.min() < args.num_stats_samples:
+            batch = next(fetcher)
+            state = solver.jit_track_stats_step(
+                state, batch["x_src"], batch["s_ref"], batch["y_ref"],
+                batch.get("masks"))
+            np.add.at(counts, np.asarray(batch["y_ref"]), 1)
+            print(dict(enumerate(counts.tolist())))
+        state = solver.finalize_ema_stats(state)
+        save_checkpoint(ckpt_dir, "starganv2", "stats_updated", state)
+        print(f"running styles updated; checkpoint saved under {ckpt_dir}")
+
+
+def _align_faces(args):
+    """main.py:143-145 / core/wing.py:407-431: resize -> FAN landmarks ->
+    similarity warp to the CelebA mean landmarks -> save."""
+    import jax
+    from PIL import Image
+    from de_i2i_gan_tpu.models.wing import (FAN, FaceAligner, WingHeatmapper,
+                                            load_torch_wing_weights)
+
+    assert args.inp_dir and args.out_dir and args.lm_path, \
+        "--inp_dir/--out_dir/--lm_path required for align"
+    fan = FAN()
+    variables = fan.init(jax.random.PRNGKey(0),
+                         np.zeros((1, 256, 256, 3), np.float32))
+    if args.wing_ckpt is not None:
+        variables = load_torch_wing_weights(str(args.wing_ckpt), variables)
+    hm = WingHeatmapper(variables, img_size=args.img_size)
+    aligner = FaceAligner(hm, str(args.lm_path), args.img_size)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fnames = sorted(p for p in Path(args.inp_dir).iterdir()
+                    if p.suffix.lower() in (".png", ".jpg", ".jpeg"))
+    for fname in fnames:
+        img = Image.open(fname).convert("RGB").resize(
+            (args.img_size, args.img_size), Image.BILINEAR)
+        x = np.asarray(img, np.float32)[None] / 127.5 - 1.0
+        aligned = aligner.align(x)[0]
+        arr = np.clip((aligned + 1) * 127.5, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(out_dir / fname.name)
+    print(f"aligned {len(fnames)} images -> {out_dir}")
 
 
 if __name__ == "__main__":

@@ -166,6 +166,43 @@ class InputFetcher:
         return batch
 
 
+class SEANInputFetcher:
+    """Sean-mode fetcher: wraps InputFetcher and attaches the frozen-ViT
+    style embeddings the solver's sean path consumes (get_style_code,
+    utils.py:485-516: s_trg = feature_extractor(x_ref stacks); the cycle
+    pass embeds x_real). Two independent style-stack draws feed s_ref /
+    s_ref2 (diversity loss); y_ref follows the style stacks' labels.
+    """
+
+    def __init__(self, base_fetcher: "InputFetcher", style_loader,
+                 extractor, num_embeds: int = 5, seed: int = 777):
+        import jax
+        self.base = base_fetcher
+        self.style = InfiniteLoader(style_loader)
+        self.extractor = extractor
+        self.num_embeds = num_embeds
+        self._rng = np.random.default_rng(seed)
+        self._jax = jax
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        batch = next(self.base)
+        b = batch["x_src"].shape[0]
+        stacks, y, _ = next(self.style)      # (N, E, H, W, C)
+        stacks2, _, _ = next(self.style)
+        key = self._jax.random.PRNGKey(int(self._rng.integers(2 ** 31)))
+        k1, k2 = self._jax.random.split(key)
+        batch["y_ref"] = y[:b].astype(np.int32)
+        batch["s_ref"] = self.extractor.extract(stacks[:b],
+                                                self.num_embeds, k1)
+        batch["s_ref2"] = self.extractor.extract(stacks2[:b],
+                                                 self.num_embeds, k2)
+        batch["s_src"] = self.extractor.extract(batch["x_src"], 1)
+        return batch
+
+
 def _collate_ref(samples):
     a = np.stack([s[0][0] for s in samples])
     b = np.stack([s[0][1] for s in samples])

@@ -28,6 +28,10 @@ from flax import linen as nn
 SIZES = {
     "base": dict(hidden=768, layers=12, heads=12, mlp=3072),
     "large": dict(hidden=1024, layers=24, heads=16, mlp=4096),
+    # test-scale config: exercises the full attention/CLS/pos-embed flow
+    # (e.g. the in-graph sean style-reconstruction loss) without the
+    # 86M-param compile cost
+    "tiny": dict(hidden=16, layers=1, heads=2, mlp=32),
 }
 
 

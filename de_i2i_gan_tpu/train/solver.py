@@ -132,7 +132,7 @@ class StarGANv2Solver:
         self._warned = set()
 
     def set_frozen_nets(self, vit_variables=None, fan_variables=None,
-                        vit_model_size: str = "base"):
+                        vit_model_size: str = "base", vit_encoder=None):
         """Attach the frozen ViT feature extractor and/or FAN heatmapper so
         the jitted G loss matches the reference graph exactly: sean-mode
         style reconstruction embeds x_fake through the ViT (gradients flow
@@ -140,9 +140,11 @@ class StarGANv2Solver:
         hpf masks from x_fake (under stop_gradient — the reference's
         get_heatmap is @torch.no_grad(), wing.py:248)."""
         if vit_variables is not None:
-            from de_i2i_gan_tpu.models.vit import ViTEncoder
-            self._vit = ViTEncoder(model_size=vit_model_size,
-                                   dtype=self.cfg.dtype)
+            if vit_encoder is None:
+                from de_i2i_gan_tpu.models.vit import ViTEncoder
+                vit_encoder = ViTEncoder(model_size=vit_model_size,
+                                         dtype=self.cfg.dtype)
+            self._vit = vit_encoder
             self._vit_vars = vit_variables
         if fan_variables is not None:
             from de_i2i_gan_tpu.models.wing import FAN
@@ -437,6 +439,31 @@ class StarGANv2Solver:
         g_state = dict(state.G.state)
         g_state["sean_stats"] = sean_v2_update_stats(g_state["sean_stats"])
         return state.replace(G=state.G.replace(state=g_state))
+
+    def track_stats_step(self, state: SolverState, x, s, y, masks=None
+                         ) -> SolverState:
+        """One tracking forward of the EMA generator — the body of the
+        `update_stats` CLI mode (reference solver.py:379-406: nets_ema
+        generator with track_running_stats=True over source/reference
+        batches). Accumulators land in ema_sean_stats."""
+        g_state = dict(state.G.state)
+        if state.ema_sean_stats is not None:
+            g_state["sean_stats"] = state.ema_sean_stats
+        variables = {"params": state.ema_G, **g_state}
+        _, mut = self.G.apply(variables, x, s, masks=masks, labels=y,
+                              track_stats=True, mutable=["sean_stats"])
+        return state.replace(ema_sean_stats=mut["sean_stats"])
+
+    def finalize_ema_stats(self, state: SolverState) -> SolverState:
+        """Finalize the EMA running styles after an update_stats sweep."""
+        if state.ema_sean_stats is None:
+            return state
+        return state.replace(
+            ema_sean_stats=sean_v2_update_stats(state.ema_sean_stats))
+
+    @functools.cached_property
+    def jit_track_stats_step(self):
+        return jax.jit(self.track_stats_step, donate_argnums=0)
 
     # ------------------------------------------------------------- sampling
     def generate(self, state: SolverState, x, s, y, masks=None,

@@ -130,7 +130,7 @@ def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
 
 
 def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
-                    n_reps: int = 3):
+                    n_reps: int = 3, **cfg_overrides):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
 
@@ -138,7 +138,8 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
         fused_g_forward=True,
-        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)),
+        **cfg_overrides)
     tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))
     steps = DefectGanSteps(cfg, tcfg, iters_per_epoch=1000, num_epochs=100)
     state = steps.init_state(jax.random.PRNGKey(0))

@@ -8,6 +8,11 @@ Supports the reference's test modes:
   --save_img               plain translated images
   --cal_clf                discriminator classifier accuracy on real data
   --save_stats             per-class Inception activations -> .npy (mFID prep)
+  --vis_style_embeds T     per-layer PCA scatter of the style-norm MLP
+                           activations, T in [hidden|mean|std] (the
+                           reference captures these with torch forward
+                           hooks, test_defectgan.py:33-116,266-268; here
+                           flax capture_intermediates does the same job)
 """
 from __future__ import annotations
 
@@ -80,6 +85,10 @@ def main(argv=None):
             metrics=tuple(opt.metrics),
             num_lpips_images=opt.num_lpips_images)
         print({k: round(v, 4) for k, v in out.items()})
+        if opt.metrics_out:
+            import json
+            Path(opt.metrics_out).parent.mkdir(parents=True, exist_ok=True)
+            Path(opt.metrics_out).write_text(json.dumps(out))
 
     if opt.save_img_grid or opt.save_img:
         labels = jnp.eye(cfg.label_nc)[1:]
@@ -121,6 +130,71 @@ def main(argv=None):
                             np.asarray(labels).argmax(1)).sum()
             total += imgs.shape[0]
         print(f"classifier accuracy: {correct / max(total, 1):.4f}")
+
+    if opt.vis_style_embeds:
+        # Per-layer style-MLP activation capture (test_defectgan.py:69-79):
+        #   hidden -> mlp_shared / mlp_latent (post-ReLU, the Sequential
+        #             output the reference hooks), mean -> mlp_beta,
+        #   std -> mlp_gamma. 3D outputs are averaged over the embed axis
+        #   (test_defectgan.py:49-51).
+        from de_i2i_gan_tpu.utils.visualize import visualize_embeddings
+        from flax.traverse_util import flatten_dict
+        etype = opt.vis_style_embeds
+        names = {"hidden": ("mlp_shared", "mlp_latent"),
+                 "mean": ("mlp_beta",), "std": ("mlp_gamma",)}
+        assert etype in names, f"--vis_style_embeds must be one of {list(names)}"
+        wanted = names[etype]
+
+        bank = None
+        if cfg.style_norm_block_type == "sean" and opt.embed_path:
+            from de_i2i_gan_tpu.data.embeddings import EmbeddingBank
+            p = str(opt.embed_path)
+            bank = (EmbeddingBank.load(opt.embed_path) if p.endswith(".npz")
+                    else EmbeddingBank.from_torch_file(opt.embed_path,
+                                                       cfg.label_nc))
+
+        variables = {"params": state.G.params, **state.G.state}
+
+        def capture(imgs, labels, feat, rng):
+            kn, kl = jax.random.split(rng)
+            _, mods = steps.G.apply(
+                variables, imgs, labels, feat, train=False,
+                rngs={"noise": kn, "latent": kl},
+                capture_intermediates=lambda mdl, _m: mdl.name in wanted,
+                mutable=["intermediates"])
+            out = {}
+            for path, vals in flatten_dict(mods["intermediates"]).items():
+                v = vals[0]
+                if v.ndim == 3:  # (N, num_embeds, C) -> per-sample mean
+                    v = v.mean(axis=1)
+                if etype == "hidden":  # reference hooks the post-ReLU output
+                    v = jax.nn.relu(v)
+                out[".".join(p for p in path if p != "__call__")] = v
+            return out
+
+        capture = jax.jit(capture)
+        layer_embeds: dict = {}
+        rng = jax.random.PRNGKey(opt.seed)
+        for imgs, labels, _ in df_loader:
+            imgs, labels = jnp.asarray(imgs), jnp.asarray(labels)
+            feat = None
+            if cfg.style_norm_block_type == "sean":
+                rng, k = jax.random.split(rng)
+                feat = (bank.sample(labels, cfg.num_embeds, k) if bank else
+                        jnp.zeros((imgs.shape[0], cfg.num_embeds,
+                                   cfg.embed_nc)))
+            rng, k = jax.random.split(rng)
+            acts = capture(imgs, labels, feat, k)
+            lbl = np.asarray(labels)
+            for lname, v in acts.items():
+                d = layer_embeds.setdefault(lname, {})
+                for e, l in zip(np.asarray(v), lbl):
+                    d.setdefault(tuple(int(x) for x in l), []).append(e)
+        for lname, embeds in layer_embeds.items():
+            out = results_dir / "pca" / f"{lname}.png"
+            visualize_embeddings(embeds, out, reduction="pca")
+        print(f"wrote {len(layer_embeds)} style-embed PCA scatters "
+              f"({etype}) to {results_dir / 'pca'}")
 
     if opt.save_stats:
         from de_i2i_gan_tpu.metrics.evaluator import Evaluator

@@ -51,9 +51,25 @@ def main(argv=None):
     cfg = to_defectgan_config(opt)
     tcfg = to_train_config(opt, clf_loss_type)
 
-    df_loader = DataLoader(datasets["defects"], opt.batch_size, seed=opt.seed)
-    bg_loader = DataLoader(datasets["background"], opt.batch_size,
-                           seed=opt.seed + 1)
+    if opt.native_loader:
+        from de_i2i_gan_tpu.runtime.native_loader import (
+            make_native_loader, native_available)
+        assert native_available(), "--native_loader needs a C++ toolchain"
+        # cache the UNtransformed images; the C++ side owns crop/flip
+        raw, _ = build_datasets(opt, "train", None)
+        root = opt.native_cache_dir or (
+            opt.ckpt_dir / "native_cache" / opt.name)
+        df_loader = make_native_loader(raw["defects"], root / "defects",
+                                       opt.image_size, opt.batch_size,
+                                       seed=opt.seed)
+        bg_loader = make_native_loader(raw["background"], root / "background",
+                                       opt.image_size, opt.batch_size,
+                                       seed=opt.seed + 1)
+    else:
+        df_loader = DataLoader(datasets["defects"], opt.batch_size,
+                               seed=opt.seed)
+        bg_loader = DataLoader(datasets["background"], opt.batch_size,
+                               seed=opt.seed + 1)
     loader = DualStreamLoader(df_loader, bg_loader, tcfg.num_critics)
     print(f"{len(datasets['defects'])} defect / "
           f"{len(datasets['background'])} background train images")

@@ -37,7 +37,23 @@ def main(argv=None):
     cfg = to_defectgan_config(opt)
     mcfg = to_mae_config(opt)
     tcfg = to_train_config(opt, clf_loss_type)
-    base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
+    if opt.native_loader:
+        from de_i2i_gan_tpu.runtime.native_loader import (
+            make_native_loader, native_available)
+        assert native_available(), "--native_loader needs a C++ toolchain"
+        if opt.dataset_name == "synthetic":
+            raw = dataset
+        else:
+            # cache the UNtransformed images; the C++ side owns crop/flip
+            raw = cls(opt.data_dir, opt.dataset_name, "train", "fusion",
+                      transform=None, seed=opt.seed, **kw)
+        root = opt.native_cache_dir or (
+            opt.ckpt_dir / "native_cache" / opt.name)
+        base_loader = make_native_loader(raw, root / "fusion",
+                                         opt.image_size, opt.batch_size,
+                                         seed=opt.seed)
+    else:
+        base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
     loader = SuperBatchLoader(base_loader, tcfg.num_critics)
     trainer = MAETrainer(cfg, mcfg, tcfg, name=opt.name,
                          ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,

@@ -76,6 +76,13 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--save_img_freq", type=int, default=4)
     p.add_argument("--num_display_images", type=int, default=8)
     p.add_argument("--ema_decay", type=float, default=0.0)
+    # TPU-native extension: C++ runtime input pipeline (runtime/dataloader.cc)
+    p.add_argument("--native_loader", action="store_true",
+                   help="stream augmented batches from the C++ loader "
+                        "instead of the Python threaded pipeline")
+    p.add_argument("--native_cache_dir", type=Path, default=None,
+                   help="decoded-image cache location (default: "
+                        "<ckpt_dir>/native_cache/<name>)")
     return p
 
 
@@ -90,6 +97,8 @@ def add_test_args(p: argparse.ArgumentParser):
     p.add_argument("--save_stats", action="store_true")
     p.add_argument("--cal_clf", action="store_true")
     p.add_argument("--vis_style_embeds", type=str, default=None)
+    p.add_argument("--metrics_out", type=Path, default=None,
+                   help="also write the metric dict as json (sweep driver)")
     p.add_argument("--save_diverse_images", action="store_true")
     p.add_argument("--num_display_images", type=int, default=8)
     return p
@@ -195,6 +204,17 @@ def add_vit_args(p: argparse.ArgumentParser):
     return p
 
 
+def add_vit_test_args(p: argparse.ArgumentParser):
+    """ViT test flags (reference: options/vit_options.py:57-77)."""
+    p.add_argument("--save_embeddings", action="store_true")
+    p.add_argument("--visualize_tsne", action="store_true")
+    p.add_argument("--calc_classifier_acc", action="store_true")
+    p.add_argument("--data_type", type=str, default="fusion",
+                   help="[defects|background|fusion]")
+    p.add_argument("--num_embeddings_epochs", type=int, default=1)
+    return p
+
+
 # ------------------------------------------------------------------ Options
 class Options:
     """parse/save/reload mirroring BaseOptions semantics."""
@@ -209,7 +229,8 @@ class Options:
         "wgan_train": (add_base_args, add_train_args, add_wgan_args),
         "wgan_test": (add_base_args, add_test_args, add_wgan_args),
         "vit_train": (add_base_args, add_train_args, add_vit_args),
-        "vit_test": (add_base_args, add_test_args, add_vit_args),
+        "vit_test": (add_base_args, add_test_args, add_vit_args,
+                     add_vit_test_args),
         "pix2pix_train": (add_base_args, add_defectgan_args, add_train_args,
                           add_pix2pix_args),
         "pix2pix_test": (add_base_args, add_defectgan_args, add_test_args,

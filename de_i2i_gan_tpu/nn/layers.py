@@ -16,6 +16,7 @@ from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -212,3 +213,45 @@ def max_pool(x: jax.Array, window: int = 3, stride: int = 2,
 def adaptive_avg_pool(x: jax.Array) -> jax.Array:
     """Global average pool to (N, C) (torch nn.AdaptiveAvgPool2d(1))."""
     return jnp.mean(x, axis=(1, 2))
+
+
+def reinit_params(rng: jax.Array, params, init_type: str = "normal",
+                  gain: float = 0.02):
+    """Post-construction weight re-initialization — the functional equivalent
+    of BaseNetwork.init_weights (base_network.py:27-53): every Conv/Linear
+    'kernel' leaf is re-drawn per ``init_type`` [normal|xavier|kaiming|
+    orthogonal], norm 'scale' leaves go to N(1, gain), biases to 0. Keys are
+    derived per-leaf from the leaf path so the result is order-independent.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    def _draw(key, leaf, name):
+        shape = leaf.shape
+        if name == "kernel" and leaf.ndim >= 2:
+            fan_in = int(np.prod(shape[:-1]))
+            fan_out = int(shape[-1])
+            if init_type == "normal":
+                return gain * jax.random.normal(key, shape, leaf.dtype)
+            if init_type == "xavier":
+                std = gain * float(np.sqrt(2.0 / (fan_in + fan_out)))
+                return std * jax.random.normal(key, shape, leaf.dtype)
+            if init_type == "kaiming":
+                std = float(np.sqrt(2.0 / fan_in))
+                return std * jax.random.normal(key, shape, leaf.dtype)
+            if init_type == "orthogonal":
+                flat = nn.initializers.orthogonal(scale=gain)(
+                    key, (fan_in, fan_out), leaf.dtype)
+                return flat.reshape(shape)
+            raise ValueError(f"unknown init_type {init_type}")
+        if name == "scale" and leaf.ndim == 1:  # norm affine weight
+            return 1.0 + gain * jax.random.normal(key, shape, leaf.dtype)
+        if name == "bias":
+            return jnp.zeros_like(leaf)
+        return leaf  # embeddings, mask tokens, cls tokens, ... untouched
+
+    flat = flatten_dict(params)
+    out = {}
+    for i, (path, leaf) in enumerate(sorted(flat.items())):
+        key = jax.random.fold_in(rng, i)
+        out[path] = _draw(key, leaf, path[-1])
+    return unflatten_dict(out)

@@ -23,8 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-# keep the slab + temporaries under ~6MB of the ~16MB VMEM
-MAX_SLAB_BYTES = 6 * 1024 * 1024
+# in+out slab budget, counted in the IO dtype (the f32 math streams
+# through CHUNK-row temporaries). Mosaic double-buffers every block along
+# the grid, so the scoped-VMEM bill is 2x this plus the channel vectors;
+# 7MB keeps the total under the 16MB/core limit (measured: 8MB of slabs
+# -> 16MB scoped -> OOM by 4KB on a v5e).
+MAX_SLAB_BYTES = 7 * 1024 * 1024
 
 
 def _apply_act(y, act: Optional[str]):
@@ -37,19 +41,51 @@ def _apply_act(y, act: Optional[str]):
     raise ValueError(f"unsupported fused activation {act}")
 
 
+# rows of f32 math live at once; the (chunk, 128) f32 temporary is 1MB.
+# Slabs whose HW exceeds this are processed by an in-kernel fori_loop, so
+# VMEM holds only the IO-dtype slabs plus one chunk of f32 — what lets
+# bf16 128^2x128 (16k rows) fit where a full-slab f32 upcast OOMs.
+CHUNK = 2048
+
+
 def _fwd_kernel(x_ref, g_ref, b_ref, o_ref, mean_ref, inv_ref, *,
                 eps: float, act: Optional[str]):
     j = pl.program_id(1)
     lanes = pl.ds(pl.multiple_of(j * LANE, LANE), LANE)
-    x = x_ref[0].astype(jnp.float32)  # (HW, 128)
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    centered = x - mean
-    var = jnp.mean(centered * centered, axis=0, keepdims=True)
+    hw = x_ref.shape[1]
+    chunk = min(hw, CHUNK)
+    nchunks = hw // chunk
+
+    # pass 1: single-pass moments (sum + sum-of-squares) accumulated over
+    # HW chunks — no full-slab f32 temporary, no `centered` intermediate.
+    # f32 accumulation over <=64k O(1)-scale activations keeps the
+    # cancellation error well under the 1e-3 test tolerance.
+    def acc_body(i, acc):
+        s, ss = acc
+        xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        return (s + jnp.sum(xc, axis=0, keepdims=True),
+                ss + jnp.sum(xc * xc, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, LANE), jnp.float32)
+    s, ss = jax.lax.fori_loop(0, nchunks, acc_body, (zero, zero))
+    mean = s / hw
+    var = jnp.maximum(ss / hw - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     gamma = g_ref[0, 0, lanes]
     beta = b_ref[0, 0, lanes]
-    y = centered * inv * (1.0 + gamma)[None, :] + beta[None, :]
-    o_ref[0] = _apply_act(y, act).astype(o_ref.dtype)
+    scale = inv * (1.0 + gamma)[None, :]
+    shift = beta[None, :] - mean * scale
+
+    # pass 2: normalize + modulate + activate, chunk by chunk (VMEM-to-VMEM;
+    # HBM traffic stays 1 read + 1 write of x)
+    def out_body(i, _):
+        xc = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = xc * scale + shift
+        o_ref[0, pl.ds(i * chunk, chunk), :] = \
+            _apply_act(y, act).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, out_body, 0)
     mean_ref[0, 0, lanes] = mean[0]
     inv_ref[0, 0, lanes] = inv[0]
 
@@ -58,29 +94,54 @@ def _bwd_kernel(x_ref, g_ref, b_ref, mean_ref, inv_ref, dy_ref,
                 dx_ref, dg_ref, db_ref, *, act: Optional[str]):
     j = pl.program_id(1)
     lanes = pl.ds(pl.multiple_of(j * LANE, LANE), LANE)
-    x = x_ref[0].astype(jnp.float32)
+    hw = x_ref.shape[1]
+    chunk = min(hw, CHUNK)
+    nchunks = hw // chunk
     mean = mean_ref[0, 0, lanes][None, :]
     inv = inv_ref[0, 0, lanes][None, :]
     gamma = g_ref[0, 0, lanes][None, :]
     beta = b_ref[0, 0, lanes][None, :]
-    dy = dy_ref[0].astype(jnp.float32)
 
-    xhat = (x - mean) * inv
-    if act is not None:
-        # recompute pre-act y to gate the activation derivative
-        y = xhat * (1.0 + gamma) + beta
-        if act == "relu":
-            dy = jnp.where(y > 0, dy, 0.0)
-        elif act == "leaky_relu":
-            dy = jnp.where(y >= 0, dy, 0.2 * dy)
+    def gated(i):
+        """One chunk of (act-gated dy, xhat) in f32."""
+        sl = pl.ds(i * chunk, chunk)
+        xc = x_ref[0, sl, :].astype(jnp.float32)
+        dyc = dy_ref[0, sl, :].astype(jnp.float32)
+        xhat = (xc - mean) * inv
+        if act is not None:
+            # recompute pre-act y to gate the activation derivative
+            y = xhat * (1.0 + gamma) + beta
+            if act == "relu":
+                dyc = jnp.where(y > 0, dyc, 0.0)
+            elif act == "leaky_relu":
+                dyc = jnp.where(y >= 0, dyc, 0.2 * dyc)
+        return dyc, xhat
 
-    dg_ref[0, 0, lanes] = jnp.sum(dy * xhat, axis=0)
-    db_ref[0, 0, lanes] = jnp.sum(dy, axis=0)
-    # dx for instance norm: a*inv*(dy - mean(dy) - xhat*mean(dy*xhat))
+    # pass 1: dg = sum(dy*xhat), db = sum(dy) — which are also hw * the
+    # means the dx formula needs
+    def acc_body(i, acc):
+        s_dy, s_dyx = acc
+        dyc, xhat = gated(i)
+        return (s_dy + jnp.sum(dyc, axis=0, keepdims=True),
+                s_dyx + jnp.sum(dyc * xhat, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, LANE), jnp.float32)
+    s_dy, s_dyx = jax.lax.fori_loop(0, nchunks, acc_body, (zero, zero))
+    dg_ref[0, 0, lanes] = s_dyx[0]
+    db_ref[0, 0, lanes] = s_dy[0]
+
+    # pass 2: dx = (1+gamma)*inv*(dy - mean(dy) - xhat*mean(dy*xhat))
     a_inv = (1.0 + gamma) * inv
-    m_dy = jnp.mean(dy, axis=0, keepdims=True)
-    m_dyx = jnp.mean(dy * xhat, axis=0, keepdims=True)
-    dx_ref[0] = (a_inv * (dy - m_dy - xhat * m_dyx)).astype(dx_ref.dtype)
+    m_dy = s_dy / hw
+    m_dyx = s_dyx / hw
+
+    def dx_body(i, _):
+        dyc, xhat = gated(i)
+        dx_ref[0, pl.ds(i * chunk, chunk), :] = \
+            (a_inv * (dyc - m_dy - xhat * m_dyx)).astype(dx_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, dx_body, 0)
 
 
 def _specs(hw, c):
@@ -153,9 +214,38 @@ def _vjp_fwd(x, gamma, beta, act, eps, interpret):
     return out, (x, gamma, beta, mean, inv)
 
 
+def _xla_bwd(x, gamma, beta, mean, inv, dy, act):
+    """Backward math as plain XLA ops — used when the 3-slab backward
+    kernel would not fit VMEM (the forward kernel is 2-slab and fits a
+    wider range of shapes). Same formulas as _bwd_kernel."""
+    n, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(n, h * w, c)
+    dyf = dy.astype(jnp.float32).reshape(n, h * w, c)
+    mean_ = mean.reshape(n, 1, c)
+    inv_ = inv.reshape(n, 1, c)
+    g = gamma.astype(jnp.float32).reshape(n, 1, c)
+    xhat = (xf - mean_) * inv_
+    if act is not None:
+        y = xhat * (1.0 + g) + beta.astype(jnp.float32).reshape(n, 1, c)
+        if act == "relu":
+            dyf = jnp.where(y > 0, dyf, 0.0)
+        elif act == "leaky_relu":
+            dyf = jnp.where(y >= 0, dyf, 0.2 * dyf)
+    dg = jnp.sum(dyf * xhat, axis=1)
+    db = jnp.sum(dyf, axis=1)
+    a_inv = (1.0 + g) * inv_
+    m_dy = jnp.mean(dyf, axis=1, keepdims=True)
+    m_dyx = jnp.mean(dyf * xhat, axis=1, keepdims=True)
+    dx = (a_inv * (dyf - m_dy - xhat * m_dyx)).astype(x.dtype)
+    return dx.reshape(x.shape), dg.reshape(n, c), db.reshape(n, c)
+
+
 def _vjp_bwd(act, eps, interpret, residuals, dy):
     x, gamma, beta, mean, inv = residuals
-    dx, dg, db = _bwd_call(x, gamma, beta, mean, inv, dy, act, interpret)
+    if fits_vmem_bwd(x.shape, x.dtype) or interpret:
+        dx, dg, db = _bwd_call(x, gamma, beta, mean, inv, dy, act, interpret)
+    else:
+        dx, dg, db = _xla_bwd(x, gamma, beta, mean, inv, dy, act)
     return dx, dg.astype(gamma.dtype), db.astype(beta.dtype)
 
 
@@ -163,8 +253,21 @@ pallas_modulated_instance_norm.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fits_vmem(x_shape, dtype=jnp.float32) -> bool:
+    """Forward-kernel eligibility: x slab + output slab in the IO dtype
+    (the f32 math streams through CHUNK-row temporaries) within budget."""
     n, h, w, c = x_shape
-    if c % LANE != 0:
+    hw = h * w
+    if c % LANE != 0 or hw % min(hw, CHUNK) != 0:
         return False
-    # slab in f32 (kernel upcasts) + output copy
-    return h * w * LANE * 4 * 2 <= MAX_SLAB_BYTES
+    item = jnp.dtype(dtype).itemsize
+    return hw * LANE * item * 2 <= MAX_SLAB_BYTES
+
+
+def fits_vmem_bwd(x_shape, dtype=jnp.float32) -> bool:
+    """Backward-kernel eligibility: x + dy in, dx out = 3 slabs."""
+    n, h, w, c = x_shape
+    hw = h * w
+    if c % LANE != 0 or hw % min(hw, CHUNK) != 0:
+        return False
+    item = jnp.dtype(dtype).itemsize
+    return hw * LANE * item * 3 <= MAX_SLAB_BYTES

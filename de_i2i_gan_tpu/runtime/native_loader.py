@@ -165,3 +165,41 @@ class NativeDataLoader:
             self.close()
         except Exception:
             pass
+
+
+class EpochView:
+    """Finite, ``data.pipeline.DataLoader``-shaped view over the infinite
+    native stream, so the epoch-based trainer loaders (DualStreamLoader,
+    SuperBatchLoader) can consume the C++ runtime unchanged."""
+
+    def __init__(self, loader: NativeDataLoader,
+                 batches_per_epoch: Optional[int] = None):
+        self.loader = loader
+        self.batch_size = loader.batch_size
+        self._n = batches_per_epoch or len(loader)
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self) -> Iterator:
+        for _ in range(self._n):
+            yield next(self.loader)
+
+
+def make_native_loader(dataset, cache_dir: Path, image_size: int,
+                       batch_size: int, seed: int = 123,
+                       num_threads: int = 4, augment: bool = True,
+                       max_side: Optional[int] = None) -> EpochView:
+    """Cache ``dataset`` (UNtransformed items — the C++ side does the random
+    resized crop + flips itself) and return an epoch-shaped loader over it.
+
+    ``max_side`` defaults to 2x the training crop, mirroring the reference's
+    Resize(1.5x) pre-shrink (train_defectgan.py:58) with headroom for the
+    random-crop scale range.
+    """
+    cache, index = build_cache(dataset, Path(cache_dir),
+                               max_side=max_side or image_size * 2)
+    native = NativeDataLoader(cache, index, image_size, batch_size,
+                              num_threads=num_threads, seed=seed,
+                              augment=augment)
+    return EpochView(native, batches_per_epoch=len(dataset) // batch_size)

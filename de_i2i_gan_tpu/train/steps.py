@@ -92,6 +92,17 @@ class DefectGanSteps:
         d_params = d_vars["params"]
         d_state = {k: v for k, v in d_vars.items() if k != "params"}
 
+        # BaseNetwork.init_weights dispatch (base_network.py:27-53): the
+        # layers are built with the normal(0.02) default; other --init_type
+        # values re-draw the Conv/Linear kernels post-construction, exactly
+        # like the reference's module-walk.
+        if cfg.init_type != "normal" or cfg.init_variance != 0.02:
+            from de_i2i_gan_tpu.nn.layers import reinit_params
+            g_params = reinit_params(k_g, g_params, cfg.init_type,
+                                     cfg.init_variance)
+            d_params = reinit_params(k_d, d_params, cfg.init_type,
+                                     cfg.init_variance)
+
         e_net = None
         if self.E is not None:
             e_vars = self.E.init({"params": k_e, "latent": k_n}, img, labels,

@@ -180,6 +180,10 @@ class DefectGanTrainer:
                     for k, v in (val_fn(self.state, epoch) or {}).items():
                         writer.scalar(f"Metrics/{k}", v, epoch)
             self._update_per_epoch(epoch)
+        # final 'latest' so short runs (< save_latest_freq iters) still leave
+        # a loadable checkpoint for the test CLIs
+        save_checkpoint(self.ckpt_dir, self.name, "latest", self.state,
+                        epoch=self.num_epochs, iters=self.iters)
         writer.close()
         return self.state
 

@@ -1,0 +1,60 @@
+"""Worker program for the 2-process jax.distributed CPU test.
+
+Spawned by tests/test_distributed.py:
+    python _distributed_worker.py <coordinator_addr> <num_procs> <pid>
+
+Each process forces 2 local CPU devices, joins the cluster via
+parallel.distributed.initialize, and validates: process_count, per-host
+data shards, a cross-process collective (global sum over a 4-device
+mesh assembled from per-process shards), and the primary gate.
+Prints one OK line that the parent asserts on.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+flags.append("--xla_force_host_platform_device_count=2")
+os.environ["XLA_FLAGS"] = " ".join(flags)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from de_i2i_gan_tpu.parallel.distributed import (  # noqa: E402
+    initialize, is_primary, process_shard)
+
+
+def main(addr: str, num_procs: int, pid: int) -> None:
+    initialize(coordinator_address=addr, num_processes=num_procs,
+               process_id=pid)
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert jax.process_index() == pid
+    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == 2 * num_procs
+    assert is_primary() == (pid == 0)
+
+    # per-host data shard: contiguous, disjoint, covering
+    sh = process_shard(10)
+    assert sh == slice(pid * 5, 10 if pid == num_procs - 1 else pid * 5 + 5)
+
+    # cross-process collective: global mean over a data-sharded array
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    # each process contributes its local rows; global = arange(4 hosts*chips)
+    local = np.arange(2 * num_procs, dtype=np.float32).reshape(
+        2 * num_procs, 1)[process_shard(2 * num_procs)]
+    garr = jax.make_array_from_process_local_data(sharding, local)
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+    expect = float(np.arange(2 * num_procs).sum())
+    assert float(total) == expect, (float(total), expect)
+    print(f"worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))

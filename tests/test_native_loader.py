@@ -40,3 +40,18 @@ def test_eval_mode_center_crop_deterministic(tmp_path):
     for row in np.asarray(imgs):
         diffs = np.abs(src - row[None]).mean(axis=(1, 2, 3))
         assert diffs.min() < 0.02, diffs.min()
+
+
+def test_epoch_view_and_factory(tmp_path):
+    from de_i2i_gan_tpu.runtime.native_loader import make_native_loader
+    ds = SyntheticDefectDataset(image_size=32, label_nc=6, length=16)
+    view = make_native_loader(ds, tmp_path, image_size=24, batch_size=4,
+                              num_threads=1, seed=7)
+    assert len(view) == 4  # 16 items / batch 4
+    batches = list(iter(view))
+    assert len(batches) == 4  # finite per-epoch view of the infinite stream
+    imgs, lbls, _ = batches[0]
+    assert imgs.shape == (4, 24, 24, 3) and lbls.shape == (4, 6)
+    # re-iterable (InfiniteLoader wraps it for the background stream)
+    assert len(list(iter(view))) == 4
+    view.loader.close()

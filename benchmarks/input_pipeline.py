@@ -130,9 +130,8 @@ def main():
             dfs.append(d_img)
             bgs.append(b_img)
             lbls.append(d_lbl)
-        return {"df": jnp.asarray(np.stack(dfs)),
-                "bg": jnp.asarray(np.stack(bgs)),
-                "df_labels": jnp.asarray(np.stack(lbls))}
+        return {"df": np.stack(dfs), "bg": np.stack(bgs),
+                "df_labels": np.stack(lbls)}
 
     def run(step, make_batch, n_iters):
         # jit_super_step donates its state argument -> fresh copy per run
@@ -143,6 +142,26 @@ def main():
         t0 = time.perf_counter()
         for i in range(n_iters):
             st, metrics = step(st, make_batch(), jax.random.PRNGKey(3 + i))
+        float(next(iter(metrics.values())))
+        return imgs_per_launch * n_iters / (time.perf_counter() - t0)
+
+    def run_prefetched(step, df_it, bg_it, n_iters):
+        """Loader-fed exactly as the trainers feed: a producer thread does
+        fetch + device_put ahead of the step (data.pipeline.device_prefetch)."""
+        from de_i2i_gan_tpu.data.pipeline import device_prefetch
+
+        def gen():
+            while True:
+                yield fetch_super_batch(df_it, bg_it)
+
+        it = device_prefetch(gen(), depth=2)
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, state)
+        st, metrics = step(st, next(it), jax.random.PRNGKey(2))
+        float(next(iter(metrics.values())))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            st, metrics = step(st, next(it), jax.random.PRNGKey(3 + i))
         float(next(iter(metrics.values())))
         return imgs_per_launch * n_iters / (time.perf_counter() - t0)
 
@@ -165,8 +184,7 @@ def main():
         DataLoader(_FileDataset(entries, transform=TrainTransform(size)),
                    batch, seed=1, num_threads=4))
     out["step_img_s_python_fed"] = round(
-        run(step, lambda: fetch_super_batch(py_df, py_bg),
-            args.step_iters), 2)
+        run_prefetched(step, py_df, py_bg, args.step_iters), 2)
     out["overlap_gap_python"] = round(
         1 - out["step_img_s_python_fed"] / out["step_img_s_preloaded"], 4)
 
@@ -176,11 +194,23 @@ def main():
         nat_bg = NativeDataLoader(cache2, index2, size, batch,
                                   num_threads=4, seed=1)
         out["step_img_s_native_fed"] = round(
-            run(step, lambda: fetch_super_batch(iter(native), iter(nat_bg)),
-                args.step_iters), 2)
+            run_prefetched(step, iter(native), iter(nat_bg),
+                           args.step_iters), 2)
         out["overlap_gap_native"] = round(
             1 - out["step_img_s_native_fed"] / out["step_img_s_preloaded"],
             4)
+        # u8 feed: 1/4 the host->device bytes, normalize on device
+        # (dl_next_u8 + ops.fused.images_to_float inside the jitted step)
+        nat_u8 = NativeDataLoader(cache2, index2, size, batch,
+                                  num_threads=4, seed=0, output_u8=True)
+        nat_u8_bg = NativeDataLoader(cache2, index2, size, batch,
+                                     num_threads=4, seed=1, output_u8=True)
+        out["step_img_s_native_u8_fed"] = round(
+            run_prefetched(step, iter(nat_u8), iter(nat_u8_bg),
+                           args.step_iters), 2)
+        out["overlap_gap_native_u8"] = round(
+            1 - out["step_img_s_native_u8_fed"] /
+            out["step_img_s_preloaded"], 4)
 
     args.out.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out, indent=2))

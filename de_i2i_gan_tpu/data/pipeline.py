@@ -141,30 +141,42 @@ class SuperBatchLoader:
 
 
 def device_prefetch(iterator, depth: int = 2):
-    """Move batches to device ahead of consumption so the H2D transfer of
-    batch k+1 overlaps the computation of batch k (the north-star requirement
-    that the input pipeline never stalls the TPU)."""
-    import collections
+    """Move batches to device ahead of consumption so the host fetch AND the
+    H2D transfer of batch k+1 overlap the computation of batch k (the
+    north-star requirement that the input pipeline never stalls the TPU).
+
+    A producer thread drives the loader and device_put into a bounded queue;
+    the consumer only pops device-resident batches. This overlaps even when
+    device_put blocks on the transfer (e.g. over the axon tunnel), which the
+    previous inline-interleave version did not.
+    """
+    import queue as queue_mod
+    import threading
+
     import jax
 
-    queue = collections.deque()
+    buf: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(depth, 1))
+    sentinel = object()
+    err = []
 
-    def put(batch):
-        queue.append(jax.tree_util.tree_map(jax.device_put, batch))
-
-    it = iter(iterator)
-    try:
-        for _ in range(depth):
-            put(next(it))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
+    def produce():
         try:
-            put(next(it))
-        except StopIteration:
-            pass
-        yield out
+            for batch in iterator:
+                buf.put(jax.tree_util.tree_map(jax.device_put, batch))
+        except BaseException as e:  # surface loader errors to the consumer
+            err.append(e)
+        finally:
+            buf.put(sentinel)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        item = buf.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 class DualStreamLoader:

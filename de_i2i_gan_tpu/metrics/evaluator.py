@@ -62,6 +62,11 @@ class Evaluator:
                            num_lpips_images: int = 10) -> Dict[str, float]:
         """generate_fn(bg_imgs, labels) -> generated images in [-1, 1]."""
         stats = ActivationStats(self.dims)
+        # no precomputed .npz -> stream real-data statistics from the defect
+        # loader alongside the fakes (the reference's
+        # compute_statistics_of_path fallback, fid_score.py:237-256)
+        real_stats = ActivationStats(self.dims) \
+            if ("fid" in metrics and npz_path is None) else None
         probs = []
         lpips_vals = []
         seen = 0
@@ -73,6 +78,9 @@ class Evaluator:
             fake = generate_fn(jnp.asarray(bg_imgs), jnp.asarray(df_labels))
             feats = self._features(fake)
             stats.update(np.asarray(feats, np.float32))
+            if real_stats is not None:
+                real_stats.update(np.asarray(
+                    self._features(jnp.asarray(df_imgs)), np.float32))
             seen += fake.shape[0]
             if "lpips" in metrics and len(lpips_vals) < num_lpips_images:
                 lpips_vals.append(float(pairwise_lpips(self._lpips_pair, fake)))
@@ -81,10 +89,14 @@ class Evaluator:
                 probs.append(np.asarray(jax.nn.softmax(feats, axis=-1)))
 
         out: Dict[str, float] = {}
-        if "fid" in metrics and npz_path is not None and stats.n > 1:
+        if "fid" in metrics and stats.n > 1:
             mu, sigma = stats.finalize()
-            mu_r, sigma_r = load_stats_npz(npz_path)
-            out["fid"] = frechet_distance(mu, sigma, mu_r, sigma_r)
+            if npz_path is not None:
+                mu_r, sigma_r = load_stats_npz(npz_path)
+                out["fid"] = frechet_distance(mu, sigma, mu_r, sigma_r)
+            elif real_stats is not None and real_stats.n > 1:
+                mu_r, sigma_r = real_stats.finalize()
+                out["fid"] = frechet_distance(mu, sigma, mu_r, sigma_r)
         if "is" in metrics and probs:
             m, s = inception_score(np.concatenate(probs, axis=0))
             out["is"] = m

@@ -44,3 +44,24 @@ def modulated_instance_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     if use_pallas and on_tpu and fits_vmem(x.shape):
         return pallas_modulated_instance_norm(x, gamma, beta, act, eps)
     return _xla_modulated_instance_norm(x, gamma, beta, act, eps)
+
+
+# loaders may ship images as u8 [0,255] (1/4 the host->device bytes of f32,
+# runtime/dataloader.cc dl_next_u8); the first thing a jitted step does is
+# normalize them on device. Float images pass through untouched, so the
+# same step functions serve both loader kinds.
+IMAGE_KEYS = ("bg", "df", "imgs", "input", "target", "x_src", "x_ref")
+
+
+def images_to_float(x: jax.Array) -> jax.Array:
+    """u8 [0,255] -> f32 [-1,1] (inverse of dl_next_u8's quantization);
+    floats pass through."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
+def batch_images_to_float(batch):
+    """Apply images_to_float to the image entries of a step batch dict."""
+    return {k: (images_to_float(v) if k in IMAGE_KEYS else v)
+            for k, v in batch.items()}

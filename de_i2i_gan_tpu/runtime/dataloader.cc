@@ -114,15 +114,8 @@ class Loader {
 
   // blocking: copy one batch out. returns 0 on success.
   int next(float* out_images, float* out_labels) {
-    std::unique_ptr<Batch> b;
-    {
-      std::unique_lock<std::mutex> lk(mu_);
-      cv_full_.wait(lk, [this] { return !queue_.empty() || stop_.load(); });
-      if (stop_.load() && queue_.empty()) return 1;
-      b = std::move(queue_.front());
-      queue_.pop();
-    }
-    cv_empty_.notify_one();
+    std::unique_ptr<Batch> b = pop();
+    if (!b) return 1;
     std::memcpy(out_images, b->images.data(),
                 b->images.size() * sizeof(float));
     std::memcpy(out_labels, b->labels.data(),
@@ -130,7 +123,39 @@ class Loader {
     return 0;
   }
 
+  // u8 variant: images re-quantized from [-1,1] to [0,255] so the caller
+  // ships 1/4 of the bytes to the device and normalizes there (the u8
+  // quantization step, 1/127.5, is finer than bf16 resolution near +-1,
+  // so nothing the bf16 compute path could see is lost).
+  int next_u8(uint8_t* out_images, float* out_labels) {
+    std::unique_ptr<Batch> b = pop();
+    if (!b) return 1;
+    const float* src = b->images.data();
+    const size_t n = b->images.size();
+    for (size_t i = 0; i < n; ++i) {
+      float v = (src[i] + 1.f) * 127.5f + 0.5f;
+      out_images[i] =
+          (uint8_t)(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+    }
+    std::memcpy(out_labels, b->labels.data(),
+                b->labels.size() * sizeof(float));
+    return 0;
+  }
+
  private:
+  std::unique_ptr<Batch> pop() {
+    std::unique_ptr<Batch> b;
+    {
+      std::unique_lock<std::mutex> lk(mu_);
+      cv_full_.wait(lk, [this] { return !queue_.empty() || stop_.load(); });
+      if (stop_.load() && queue_.empty()) return nullptr;
+      b = std::move(queue_.front());
+      queue_.pop();
+    }
+    cv_empty_.notify_one();
+    return b;
+  }
+
   void reshuffle() {
     order_.resize(items_.size());
     for (size_t i = 0; i < order_.size(); ++i) order_[i] = (uint32_t)i;
@@ -310,6 +335,10 @@ void* dl_create(const char* cache_path, const char* index_path,
 
 int dl_next(void* handle, float* out_images, float* out_labels) {
   return static_cast<Loader*>(handle)->next(out_images, out_labels);
+}
+
+int dl_next_u8(void* handle, uint8_t* out_images, float* out_labels) {
+  return static_cast<Loader*>(handle)->next_u8(out_images, out_labels);
 }
 
 int dl_label_nc(void* handle) {

@@ -62,6 +62,10 @@ def _load_lib():
         _lib.dl_next.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_float),
                                  ctypes.POINTER(ctypes.c_float)]
+        _lib.dl_next_u8.restype = ctypes.c_int
+        _lib.dl_next_u8.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_float)]
         _lib.dl_label_nc.restype = ctypes.c_int
         _lib.dl_label_nc.argtypes = [ctypes.c_void_p]
         _lib.dl_n_items.restype = ctypes.c_uint
@@ -123,7 +127,8 @@ class NativeDataLoader:
 
     def __init__(self, cache_path: Path, index_path: Path, image_size: int,
                  batch_size: int, num_threads: int = 2, seed: int = 123,
-                 augment: bool = True, channels: int = 3):
+                 augment: bool = True, channels: int = 3,
+                 output_u8: bool = False):
         lib = _load_lib()
         self._lib = lib
         self._handle = lib.dl_create(
@@ -134,10 +139,14 @@ class NativeDataLoader:
         self.batch_size = batch_size
         self.image_size = image_size
         self.channels = channels
+        self.output_u8 = output_u8
         self.label_nc = lib.dl_label_nc(self._handle)
         self.n_items = lib.dl_n_items(self._handle)
-        self._img_buf = np.empty(
-            (batch_size, image_size, image_size, channels), np.float32)
+        shape = (batch_size, image_size, image_size, channels)
+        # u8 batches quarter the host->device transfer; the jitted steps
+        # normalize u8 -> [-1,1] on device (steps.py images_to_float)
+        self._img_buf = np.empty(shape,
+                                 np.uint8 if output_u8 else np.float32)
         self._lbl_buf = np.empty((batch_size, self.label_nc), np.float32)
 
     def __len__(self):
@@ -147,10 +156,16 @@ class NativeDataLoader:
         return self
 
     def __next__(self):
-        rc = self._lib.dl_next(
-            self._handle,
-            self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._lbl_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if self.output_u8:
+            rc = self._lib.dl_next_u8(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._lbl_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        else:
+            rc = self._lib.dl_next(
+                self._handle,
+                self._img_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._lbl_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if rc != 0:
             raise StopIteration
         return self._img_buf.copy(), self._lbl_buf.copy(), []
@@ -189,17 +204,20 @@ class EpochView:
 def make_native_loader(dataset, cache_dir: Path, image_size: int,
                        batch_size: int, seed: int = 123,
                        num_threads: int = 4, augment: bool = True,
-                       max_side: Optional[int] = None) -> EpochView:
+                       max_side: Optional[int] = None,
+                       output_u8: bool = True) -> EpochView:
     """Cache ``dataset`` (UNtransformed items — the C++ side does the random
     resized crop + flips itself) and return an epoch-shaped loader over it.
 
     ``max_side`` defaults to 2x the training crop, mirroring the reference's
     Resize(1.5x) pre-shrink (train_defectgan.py:58) with headroom for the
-    random-crop scale range.
+    random-crop scale range. ``output_u8`` (default on) ships quantized u8
+    batches — 1/4 the host->device bytes; the jitted train steps normalize
+    on device.
     """
     cache, index = build_cache(dataset, Path(cache_dir),
                                max_side=max_side or image_size * 2)
     native = NativeDataLoader(cache, index, image_size, batch_size,
                               num_threads=num_threads, seed=seed,
-                              augment=augment)
+                              augment=augment, output_u8=output_u8)
     return EpochView(native, batches_per_epoch=len(dataset) // batch_size)

@@ -183,6 +183,8 @@ class MAESteps:
         return (src, cls), {**d_state, **mut}
 
     def d_step(self, state: GANTrainState, batch: Batch, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         (_, (d_state, metrics)), grads = jax.value_and_grad(
             self.d_loss_fn, has_aux=True)(state.D.params, state, batch, rng)
         updates, opt = self.tx_D.update(grads, state.D.opt_state, state.D.params)
@@ -191,6 +193,8 @@ class MAESteps:
             step=state.step + 1), metrics
 
     def g_step(self, state: GANTrainState, batch: Batch, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         e_params = state.E.params if state.E is not None else None
         (_, (g_state, metrics)), grads = jax.value_and_grad(
             self.g_loss_fn, has_aux=True)((state.G.params, e_params), state,
@@ -226,6 +230,8 @@ class MAESteps:
 
     def eval_losses(self, state: GANTrainState, batch: Batch, rng: jax.Array):
         """mae_inference (defectgan_model.py:131-147): losses without updates."""
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         imgs, labels = batch["imgs"], batch["labels"]
         k_feat, k_rep = jax.random.split(rng)
         e_params = state.E.params if state.E is not None else None

@@ -162,6 +162,8 @@ class Pix2PixSteps:
                          jnp.float32).at[:, 0].set(1.0)
 
     def d_step(self, state: GANTrainState, batch: Dict, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         x, y = batch["input"], batch["target"]
         b = x.shape[0]
         fake, _ = self._gen(state.G.params, state.G.state, x,
@@ -191,6 +193,8 @@ class Pix2PixSteps:
             step=state.step + 1), {"d_loss": loss}
 
     def g_step(self, state: GANTrainState, batch: Dict, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         x, y = batch["input"], batch["target"]
 
         b = x.shape[0]

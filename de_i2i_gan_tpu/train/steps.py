@@ -228,6 +228,8 @@ class DefectGanSteps:
         return d_loss, (d_state, metrics)
 
     def d_step(self, state: GANTrainState, batch: Batch, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         grad_fn = jax.value_and_grad(self.d_loss_fn, has_aux=True)
         (_, (d_state, metrics)), grads = grad_fn(state.D.params, state, batch,
                                                  rng)
@@ -343,6 +345,8 @@ class DefectGanSteps:
         return g_loss, (g_state, metrics)
 
     def g_step(self, state: GANTrainState, batch: Batch, rng: jax.Array):
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
         e_params = state.E.params if state.E is not None else None
         grad_fn = jax.value_and_grad(self.g_loss_fn, has_aux=True)
         (_, (g_state, metrics)), grads = grad_fn(

@@ -281,6 +281,10 @@ class MAETrainer:
             if epoch % self.save_ckpt_freq == 0:
                 save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
                                 epoch=epoch, iters=self.iters)
+        # final 'latest' so short runs (< save_latest_freq iters) still leave
+        # a loadable warm-start checkpoint (--load_model_name)
+        save_checkpoint(self.ckpt_dir, self.name, "latest", self.state,
+                        epoch=self.num_epochs, iters=self.iters)
         writer.close()
         return self.state
 
@@ -467,6 +471,8 @@ class WGanTrainer:
             if epoch % self.save_ckpt_freq == 0:
                 save_checkpoint(self.ckpt_dir, self.name, epoch, self.state,
                                 epoch=epoch, iters=self.iters)
+        save_checkpoint(self.ckpt_dir, self.name, "latest", self.state,
+                        epoch=self.num_epochs, iters=self.iters)
         writer.close()
         return self.state
 

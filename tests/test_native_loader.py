@@ -55,3 +55,37 @@ def test_epoch_view_and_factory(tmp_path):
     # re-iterable (InfiniteLoader wraps it for the background stream)
     assert len(list(iter(view))) == 4
     view.loader.close()
+
+
+def test_u8_output_roundtrip(tmp_path):
+    """dl_next_u8 ships quantized batches; images_to_float on device must
+    recover the float batch to within one u8 quantization step."""
+    import jax.numpy as jnp
+    from de_i2i_gan_tpu.ops.fused import images_to_float
+    ds = SyntheticDefectDataset(image_size=32, label_nc=6, length=8)
+    cache, index = build_cache(ds, tmp_path)
+    f = NativeDataLoader(cache, index, 32, 8, 1, seed=1, augment=False)
+    u = NativeDataLoader(cache, index, 32, 8, 1, seed=1, augment=False,
+                         output_u8=True)
+    imgs_f, lbls_f, _ = next(f)
+    imgs_u, lbls_u, _ = next(u)
+    assert imgs_u.dtype == np.uint8
+    np.testing.assert_array_equal(lbls_f, lbls_u)
+    rec = np.asarray(images_to_float(jnp.asarray(imgs_u)))
+    # eval mode is deterministic -> same underlying batch; u8 step is 2/255
+    assert np.abs(rec - imgs_f).max() <= (1.0 / 127.5) + 1e-6
+    f.close()
+    u.close()
+
+
+def test_batch_images_to_float_passthrough():
+    import jax.numpy as jnp
+    from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+    b = {"bg": jnp.zeros((1, 4, 4, 3), jnp.uint8),
+         "df": jnp.ones((1, 4, 4, 3), jnp.float32),
+         "df_labels": jnp.ones((1, 6), jnp.float32)}
+    out = batch_images_to_float(b)
+    assert out["bg"].dtype == jnp.float32
+    assert float(out["bg"].min()) == -1.0
+    assert (out["df"] == b["df"]).all()  # floats untouched
+    assert out["df_labels"].dtype == jnp.float32

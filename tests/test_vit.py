@@ -7,12 +7,15 @@ import de_i2i_gan_tpu.models.vit as vit_mod
 from de_i2i_gan_tpu.config import TrainConfig
 from de_i2i_gan_tpu.train.vit_steps import ViTSteps, dump_embeddings
 
-# register a tiny size for testing
-vit_mod.SIZES["tiny"] = dict(hidden=32, layers=2, heads=2, mlp=64)
+# register a DISTINCT size key for these tests. Overwriting the shared
+# "tiny" entry at import time poisoned every later-collected test that
+# relies on the real tiny config (pytest imports all modules at collection;
+# test_solver_frozen saw hidden=32 embeddings against embed_nc=16 batches).
+vit_mod.SIZES["test_tiny32"] = dict(hidden=32, layers=2, heads=2, mlp=64)
 
 
 def test_vit_encoder_shapes():
-    net = vit_mod.ViTEncoder(model_size="tiny", patch=16, image_size=32)
+    net = vit_mod.ViTEncoder(model_size="test_tiny32", patch=16, image_size=32)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
                            minval=-1, maxval=1)
     v = net.init(jax.random.PRNGKey(1), x)
@@ -21,9 +24,9 @@ def test_vit_encoder_shapes():
 
 
 def test_feature_extractor_multi_reference():
-    net = vit_mod.ViTEncoder(model_size="tiny", patch=16, image_size=32)
+    net = vit_mod.ViTEncoder(model_size="test_tiny32", patch=16, image_size=32)
     v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
-    fe = vit_mod.FeatureExtractor(v, model_size="tiny")
+    fe = vit_mod.FeatureExtractor(v, model_size="test_tiny32")
     fe.net = net  # use the tiny geometry
     fe._embed = jax.jit(lambda vv, x: net.apply(vv, x)[:, 0, :])
     x5 = jax.random.uniform(jax.random.PRNGKey(1), (2, 5, 32, 32, 3))
@@ -36,7 +39,7 @@ def test_feature_extractor_multi_reference():
 def test_vit_classifier_learns():
     tc = TrainConfig(batch_size=8, optimizer="adamw", lr=(1e-2,),
                      scheduler="cos", clf_loss_type="cce")
-    steps = ViTSteps(label_nc=2, tcfg=tc, model_size="tiny",
+    steps = ViTSteps(label_nc=2, tcfg=tc, model_size="test_tiny32",
                      iters_per_epoch=10, num_epochs=5, image_size=32)
     state = steps.init_state(jax.random.PRNGKey(0))
     # two linearly separable image classes (bright vs dark)
@@ -57,7 +60,7 @@ def test_vit_classifier_learns():
 
 def test_dump_embeddings():
     tc = TrainConfig(batch_size=4, clf_loss_type="bce")
-    steps = ViTSteps(label_nc=3, tcfg=tc, model_size="tiny",
+    steps = ViTSteps(label_nc=3, tcfg=tc, model_size="test_tiny32",
                      iters_per_epoch=5, num_epochs=2, image_size=32)
     steps.init_state(jax.random.PRNGKey(0))
 

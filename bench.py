@@ -91,14 +91,15 @@ def _time_reps(step, state, batch, n_iters: int, n_reps: int):
 
 
 def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
-                  n_iters: int, n_reps: int = 3):
+                  n_iters: int, n_reps: int = 3, **cfg_overrides):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
 
     cfg = DefectGanConfig(
         image_size=size, cycle_gan=True,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)),
+        **cfg_overrides)
     tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
     steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
                          num_epochs=200)

@@ -6,7 +6,9 @@ TFLOP/s vs the bf16 peak and achieved GB/s vs the HBM peak. If the bytes/s
 number sits near the HBM roof, 0.13 MFU is the roofline for this
 conv-then-normalize workload at 512^2, not a scheduling problem.
 
-Usage: python benchmarks/roofline_512.py [--size 512] [--batch 4]
+Usage: python benchmarks/roofline.py [--size 512] [--batch 4]
+       python benchmarks/roofline.py --workload defectgan --size 256 \
+           --batch 8   # the DefectGAN flagship step
 """
 from __future__ import annotations
 
@@ -27,30 +29,51 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--out", type=Path,
-                    default=Path(__file__).parent / "roofline_512.json")
+    ap.add_argument("--workload", type=str, default="pix2pix",
+                    help="[pix2pix|defectgan]")
+    ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = (Path(__file__).parent /
+                    f"roofline_{args.workload}_{args.size}.json")
 
     import jax
     import jax.numpy as jnp
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
-    from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
 
     dev = jax.devices()[0]
     size, batch = args.size, args.batch
-    cfg = DefectGanConfig(image_size=size, cycle_gan=True,
-                          compute_dtype="bfloat16")
-    tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
-    steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
-                         num_epochs=200)
-    state = steps.init_state(jax.random.PRNGKey(0))
     k = jax.random.PRNGKey(1)
-    batch_t = {"input": jax.random.uniform(k, (batch, size, size, 3),
-                                           minval=-1, maxval=1),
-               "target": jax.random.uniform(k, (batch, size, size, 3),
-                                            minval=-1, maxval=1)}
+    if args.workload == "pix2pix":
+        from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
+        cfg = DefectGanConfig(image_size=size, cycle_gan=True,
+                              compute_dtype="bfloat16")
+        tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
+        steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
+                             num_epochs=200)
+        batch_t = {"input": jax.random.uniform(k, (batch, size, size, 3),
+                                               minval=-1, maxval=1),
+                   "target": jax.random.uniform(k, (batch, size, size, 3),
+                                                minval=-1, maxval=1)}
+    else:
+        from de_i2i_gan_tpu.train.steps import DefectGanSteps
+        cfg = DefectGanConfig(image_size=size, compute_dtype="bfloat16",
+                              fused_g_forward=True)
+        tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))
+        steps = DefectGanSteps(cfg, tcfg, iters_per_epoch=1000,
+                               num_epochs=100)
+        nc = tcfg.num_critics
+        batch_t = {"bg": jax.random.uniform(k, (nc, batch, size, size, 3),
+                                            minval=-1, maxval=1),
+                   "df": jax.random.uniform(k, (nc, batch, size, size, 3),
+                                            minval=-1, maxval=1),
+                   "df_labels": jnp.tile(jnp.eye(cfg.label_nc)[1][None, None],
+                                         (nc, batch, 1))}
+    state = steps.init_state(jax.random.PRNGKey(0))
 
-    fn = jax.jit(steps.train_step, donate_argnums=0)
+    step_fn = steps.train_step if args.workload == "pix2pix" else \
+        steps.super_step
+    fn = jax.jit(step_fn, donate_argnums=0)
     lowered = fn.lower(state, batch_t, jax.random.PRNGKey(2))
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
@@ -72,11 +95,14 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
 
     bytes_acc = float(byte_keys.get("bytes accessed", 0))
+    imgs = batch * (1 if args.workload == "pix2pix"
+                    else tcfg.num_critics)
     out = {
         "device": f"{dev.platform}:{dev.device_kind}",
+        "workload": args.workload,
         "size": size, "batch": batch,
         "launch_ms": round(dt * 1e3, 2),
-        "img_per_sec": round(batch / dt, 2),
+        "img_per_sec": round(imgs / dt, 2),
         "flops_per_launch": flops,
         "achieved_tflops": round(flops / dt / 1e12, 2),
         "mfu_nominal": round(flops / dt / FLOP_PEAK.get(dev.device_kind,

@@ -151,11 +151,20 @@ class Pix2PixSteps:
             E=None, ema_G=ema, step=jnp.zeros((), jnp.int32))
 
     def _gen(self, params, g_state, x, labels, rng, train):
-        variables = {"params": params, **g_state}
-        mutable = ["batch_stats", "spectral"] if train else []
-        (out, _), mut = self.G.apply(variables, x, labels, train=train,
-                                     mutable=mutable, rngs={"noise": rng})
-        return out, {**g_state, **mut}
+        def fwd(params, g_state, x, labels, rng):
+            variables = {"params": params, **g_state}
+            mutable = ["batch_stats", "spectral"] if train else []
+            (out, _), mut = self.G.apply(variables, x, labels, train=train,
+                                         mutable=mutable,
+                                         rngs={"noise": rng})
+            return out, {**g_state, **mut}
+
+        if train and self.cfg.remat:
+            # bandwidth-bound workload (roofline_*.json: 82% of HBM peak at
+            # 29% MFU): recomputing the G forward in the backward trades
+            # cheap FLOPs for activation reads/writes
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, g_state, x, labels, rng)
 
     def _labels(self, x):
         return jnp.zeros((x.shape[0], self.cfg.label_nc),

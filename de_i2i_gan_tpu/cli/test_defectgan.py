@@ -131,6 +131,89 @@ def main(argv=None):
             total += imgs.shape[0]
         print(f"classifier accuracy: {correct / max(total, 1):.4f}")
 
+    if opt.cal_mfid:
+        # per-class FID averaged over defect classes (mFID,
+        # defectgan_metrics.py:104-123). --npy_path points at either the
+        # reference's pickled dict {label_tuple: stats/activations} or a
+        # directory of stats_<key>.npy activation dumps (--save_stats).
+        from de_i2i_gan_tpu.metrics.evaluator import Evaluator
+        from de_i2i_gan_tpu.metrics.fid import (ActivationStats,
+                                                mfid_from_class_stats)
+        assert opt.npy_path, "--cal_mfid requires --npy_path"
+
+        def _to_stats(v):
+            v = np.asarray(v, np.float32)
+            if v.ndim == 2 and v.shape[0] > 1:  # raw activations
+                st = ActivationStats(v.shape[1])
+                st.update(v)
+                return st.finalize()
+            return tuple(v)  # already (mu, sigma)
+
+        p = Path(opt.npy_path)
+        real_stats = {}
+        if p.is_dir():
+            for f in sorted(p.glob("stats_*.npy")):
+                real_stats[f.stem[len("stats_"):]] = _to_stats(np.load(f))
+        else:
+            for k, v in np.load(p, allow_pickle=True).item().items():
+                key = "-".join(str(i) for i, x in enumerate(k) if x == 1) \
+                    if isinstance(k, tuple) else str(k)
+                real_stats[key] = _to_stats(v)
+
+        ev = Evaluator(dims=opt.dims)
+        fake_acts = {}
+        bg_it = iter(bg_loader)
+        for class_idx in range(1, cfg.label_nc):
+            key = str(class_idx)
+            if key not in real_stats:
+                continue
+            acts, seen = [], 0
+            while seen < opt.num_imgs:
+                bg_imgs, _, _ = next(bg_it)
+                lbl = jnp.zeros((bg_imgs.shape[0], cfg.label_nc)
+                                ).at[:, class_idx].set(1.0)
+                fake = generate(jnp.asarray(bg_imgs), lbl)
+                acts.append(np.asarray(ev._features(fake), np.float32))
+                seen += fake.shape[0]
+            fake_acts[key] = np.concatenate(acts)
+        res = mfid_from_class_stats(real_stats, fake_acts)
+        per_class = {k: round(v, 4) for k, v in res.items() if k != "mean"}
+        print(f"FID for each class: {per_class}")
+        print(f"mFID: {res.get('mean', float('nan')):.4f}")
+        if opt.metrics_out:
+            import json
+            Path(opt.metrics_out).parent.mkdir(parents=True, exist_ok=True)
+            Path(opt.metrics_out).write_text(json.dumps(
+                {"mfid": res.get("mean"), **per_class}))
+
+    if opt.save_diverse_images:
+        # Multiple_<combo>/Single_<class> grids over one background batch
+        # (test_defectgan.py:269-297): every multi-label combo seen in the
+        # defect set, plus each single defect class.
+        out_dir = results_dir / "images"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        bg_imgs, _, _ = next(iter(bg_loader))
+        bg_imgs = jnp.asarray(bg_imgs[:opt.num_display_images])
+
+        def grid_for(label_row, path):
+            lbl = jnp.tile(jnp.asarray(label_row, jnp.float32)[None],
+                           (bg_imgs.shape[0], 1))
+            out = np.asarray(generate(bg_imgs, lbl))
+            _save_image(np.concatenate(list(out), axis=1), path)
+
+        _, df_labels, _ = next(iter(df_loader))
+        df_labels = np.asarray(df_labels)
+        multi = np.unique(df_labels[df_labels.sum(axis=1) > 1], axis=0)
+        for row in multi:
+            grid_for(row, out_dir /
+                     f"Multiple_{tuple(int(v) for v in row)}.png")
+        for class_idx in range(1, cfg.label_nc):
+            row = np.zeros(cfg.label_nc, np.float32)
+            row[class_idx] = 1.0
+            grid_for(row, out_dir / f"Single_{class_idx}.png")
+        print(f"wrote {len(multi)} multi-label + {cfg.label_nc - 1} "
+              f"single-label grids to {out_dir}")
+
     if opt.vis_style_embeds:
         # Per-layer style-MLP activation capture (test_defectgan.py:69-79):
         #   hidden -> mlp_shared / mlp_latent (post-ReLU, the Sequential

@@ -40,6 +40,8 @@ def build_parser():
     p.add_argument("--lambda_cyc", type=float, default=1.0)
     p.add_argument("--lambda_sty", type=float, default=1.0)
     p.add_argument("--lambda_ds", type=float, default=1.0)
+    p.add_argument("--lambda_rec", type=float, default=10.0,
+                   help="MAE pretrain reconstruction weight")
     p.add_argument("--ds_iter", type=int, default=100000)
     p.add_argument("--total_iters", type=int, default=100000)
     p.add_argument("--resume_iter", type=int, default=0)
@@ -65,7 +67,24 @@ def build_parser():
     p.add_argument("--sample_every", type=int, default=5000)
     p.add_argument("--save_every", type=int, default=10000)
     p.add_argument("--eval_every", type=int, default=50000)
-    p.add_argument("--wing_ckpt", type=Path, default=None)
+    p.add_argument("--wing_ckpt", "--wing_path", dest="wing_ckpt",
+                   type=Path, default=None)
+    p.add_argument("--pretrain_dir", type=Path, default=None,
+                   help="warm-start nets from a MAE pretrain checkpoint dir")
+    p.add_argument("--pretrain_iter", type=int, default=None)
+    p.add_argument("--randcrop_prob", type=float, default=0.5)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host loader threads")
+    p.add_argument("--num_val_refs", type=int, default=4)
+    p.add_argument("--update_sean_every", type=int, default=10)
+    p.add_argument("--src_dir", type=Path, default=None,
+                   help="sample mode: source image folder (default "
+                        "val_img_dir)")
+    p.add_argument("--ref_dir", type=Path, default=None,
+                   help="sample mode: reference image folder (default "
+                        "val_img_dir)")
+    p.add_argument("--result_dir", type=Path, default=None,
+                   help="sample mode output dir (default sample_dir)")
     p.add_argument("--vit_path", type=str, default=None,
                    help="HF ViT name/local path for the frozen sean-mode "
                         "feature extractor (random init if omitted)")
@@ -97,9 +116,11 @@ def _make_train_fetcher(args, img_dir, tf, solver=None):
         make_reference_loader)
 
     src = BalancedLoader(ImageFolderDataset(img_dir, tf, args.seed),
-                         args.batch_size, seed=args.seed)
+                         args.batch_size, seed=args.seed,
+                         num_threads=args.num_workers)
     ref = make_reference_loader(ReferenceDataset(img_dir, tf, args.seed),
-                                args.batch_size, seed=args.seed + 1)
+                                args.batch_size, seed=args.seed + 1,
+                                num_threads=args.num_workers)
     fetcher = InputFetcher(src, ref, args.latent_dim, args.norm_type,
                            args.hidden_nc, args.seed)
     if args.norm_type != "sean":
@@ -150,6 +171,7 @@ def main(argv=None):
         max_conv_dim=args.max_conv_dim,
         lambda_reg=args.lambda_reg, lambda_cyc=args.lambda_cyc,
         lambda_sty=args.lambda_sty, lambda_ds=args.lambda_ds,
+        lambda_rec=args.lambda_rec,
         ds_iter=args.ds_iter, total_iters=args.total_iters,
         batch_size=args.batch_size, lr=args.lr, f_lr=args.f_lr,
         beta1=args.beta1, beta2=args.beta2, weight_decay=args.weight_decay,
@@ -178,7 +200,15 @@ def main(argv=None):
                                 strict=(args.mode != "update_stats"))
 
     if args.mode == "train":
-        tf = TrainTransform(args.img_size, jitter=False, vflip=False)
+        if args.pretrain_dir is not None:
+            # MAE warm start (solver.py:57-69,236-240): key-filtered load of
+            # the pretrain nets into the fresh train state
+            tag = (f"{args.pretrain_iter:06d}" if args.pretrain_iter
+                   else "latest")
+            state = load_checkpoint(args.pretrain_dir, "starganv2_pretrain",
+                                    tag, state, strict=False)
+        tf = TrainTransform(args.img_size, jitter=False, vflip=False,
+                            randcrop_prob=args.randcrop_prob)
         fetcher = _make_train_fetcher(args, args.train_img_dir, tf, solver)
         rng = jax.random.PRNGKey(args.seed)
         running = defaultdict(float)
@@ -186,7 +216,8 @@ def main(argv=None):
             batch = next(fetcher)
             rng, key = jax.random.split(rng)
             state, metrics = solver.jit_train_step(state, batch, key)
-            if cfg.norm_type == "sean":
+            if cfg.norm_type == "sean" and \
+                    (i + 1) % max(args.update_sean_every, 1) == 0:
                 state = solver.update_sean_stats(state)
             for k, v in metrics.items():
                 running[k] += float(v)
@@ -205,11 +236,14 @@ def main(argv=None):
             debug_image, translate_using_latent)
         import jax.numpy as jnp
         tf = EvalTransform(args.img_size)
-        src = BalancedLoader(ImageFolderDataset(args.val_img_dir, tf,
-                                                args.seed),
+        src_root = args.src_dir or args.val_img_dir
+        ref_root = args.ref_dir or args.val_img_dir
+        if args.result_dir is not None:
+            args.sample_dir = args.result_dir
+        src = BalancedLoader(ImageFolderDataset(src_root, tf, args.seed),
                              args.val_batch_size, seed=args.seed)
         ref = make_reference_loader(
-            ReferenceDataset(args.val_img_dir, tf, args.seed),
+            ReferenceDataset(ref_root, tf, args.seed),
             args.val_batch_size, seed=args.seed + 1)
         fetcher = InputFetcher(src, ref, args.latent_dim, args.norm_type,
                                args.hidden_nc, args.seed)

@@ -223,5 +223,7 @@ class ReferenceLoader(BalancedLoader):
 
 
 def make_reference_loader(dataset: ReferenceDataset, batch_size: int,
-                          seed: int = 777) -> "ReferenceLoader":
-    return ReferenceLoader(dataset, batch_size, seed=seed)
+                          seed: int = 777,
+                          num_threads: int = 2) -> "ReferenceLoader":
+    return ReferenceLoader(dataset, batch_size, seed=seed,
+                           num_threads=num_threads)

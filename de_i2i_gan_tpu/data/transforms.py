@@ -100,16 +100,23 @@ class TrainTransform:
     """The reference's training augmentation chain."""
 
     def __init__(self, image_size: int, jitter: bool = True,
-                 hflip: bool = True, vflip: bool = True):
+                 hflip: bool = True, vflip: bool = True,
+                 randcrop_prob: float = 1.0):
         self.size = image_size
         self.jitter = jitter
         self.hflip = hflip
         self.vflip = vflip
+        # stargan-v2 applies the random-resized crop with a probability
+        # (--randcrop_prob, data_loader.py:95-105); defectGAN always crops
+        self.randcrop_prob = randcrop_prob
 
     def __call__(self, img, rng: np.random.Generator) -> np.ndarray:
         img = img.convert("RGB")
-        img = resize_shorter(img, int(self.size * 1.5))
-        img = random_resized_crop(rng, img, self.size)
+        if rng.random() < self.randcrop_prob:
+            img = resize_shorter(img, int(self.size * 1.5))
+            img = random_resized_crop(rng, img, self.size)
+        else:
+            img = img.resize((self.size, self.size))
         arr = np.asarray(img, np.float32) / 255.0
         if self.hflip and rng.random() < 0.5:
             arr = arr[:, ::-1]

@@ -60,6 +60,7 @@ class StarGANv2Config:
     lambda_cyc: float = 1.0
     lambda_sty: float = 1.0
     lambda_ds: float = 1.0
+    lambda_rec: float = 10.0  # MAE pretrain reconstruction (main.py:175)
     ds_iter: int = 100_000
     total_iters: int = 100_000
     batch_size: int = 8
@@ -573,8 +574,9 @@ class StarGANv2Solver:
             loss_ds = l1(s_real, s_real2)
         else:
             loss_ds = jnp.zeros(())
+        # reference MAE G loss weighs rec with lambda_rec (solver.py:457)
         loss = (loss_adv + cfg.lambda_sty * loss_sty +
-                cfg.lambda_cyc * loss_rec +
+                cfg.lambda_rec * loss_rec +
                 self._lambda_ds(state.step) * loss_ds)
         return loss, (g_state, {"adv": loss_adv, "sty": loss_sty,
                                 "rec": loss_rec, "ds": loss_ds})

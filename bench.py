@@ -173,6 +173,52 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
     }
 
 
+def bench_infer(size: int, batch: int, on_tpu: bool, n_iters: int,
+                n_reps: int = 3):
+    """Generator-only inference (the BASELINE metric's 'generator infer
+    img/s'; config #5's batched 1024^2 folder-inference workload)."""
+    import jax
+    from de_i2i_gan_tpu.config import DefectGanConfig
+    from de_i2i_gan_tpu.models.generator import DefectGanGenerator
+
+    cfg = DefectGanConfig(
+        image_size=size,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
+    gen = DefectGanGenerator(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (batch, size, size, 3), minval=-1, maxval=1)
+    labels = jnp.zeros((batch, cfg.label_nc)).at[:, 1].set(1.0)
+    variables = gen.init({"params": rng, "noise": rng, "latent": rng},
+                         x, labels, train=False)
+
+    @jax.jit
+    def fwd(variables, x, labels):
+        out, _ = gen.apply(variables, x, labels, train=False,
+                           rngs={"noise": jax.random.PRNGKey(0)})
+        return out
+
+    out = fwd(variables, x, labels)
+    float(out.ravel()[0])  # sync
+    flops = _program_flops(lambda v, a, l: fwd(v, a, l), variables, x, labels)
+    times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fwd(variables, x, labels)
+        float(out.ravel()[0])
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    img_s = batch * n_iters / times.mean()
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "img_per_sec_std": round(float(
+            batch * n_iters * times.std() / times.mean() ** 2), 2),
+        "tflop_per_img": (round(flops / batch / 1e12, 4) if flops else None),
+        "flops_per_launch": flops,
+    }
+
+
 def _mfu(entry, peak):
     if not entry.get("tflop_per_img") or not peak:
         return None
@@ -189,13 +235,15 @@ def main():
         p2p = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8)
         p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
         dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)
+        inf = bench_infer(1024, 4, on_tpu=True, n_iters=6)
     else:  # CPU smoke path (tiny shapes, structure identical)
         p2p = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2, n_reps=2)
         p2p_hd = bench_pix2pix(64, 1, ipl=1, on_tpu=False, n_iters=2,
                                n_reps=2)
         dg = bench_defectgan(64, 2, on_tpu=False, n_iters=2, n_reps=2)
+        inf = bench_infer(64, 2, on_tpu=False, n_iters=2, n_reps=2)
 
-    for e in (p2p, p2p_hd, dg):
+    for e in (p2p, p2p_hd, dg, inf):
         e["mfu"] = _mfu(e, peak)
         e.pop("flops_per_launch", None)
 
@@ -216,6 +264,7 @@ def main():
                 **dg,
                 "vs_sgv2_v100": round(dg["img_per_sec"] / REF_SGV2_V100, 2),
             },
+            "generator_infer_1024": inf,
             "baselines": {
                 "ref_p2p_a100_img_s": REF_P2P_A100,
                 "ref_sgv2_v100_img_s": REF_SGV2_V100,

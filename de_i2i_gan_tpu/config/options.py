@@ -54,6 +54,10 @@ def add_base_args(p: argparse.ArgumentParser):
     # TPU-native extensions (no reference equivalent)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    help="[bfloat16|float32] on-device compute precision")
+    p.add_argument("--gpu_ids", type=str, default="0",
+                   help="accepted for reference-CLI compatibility "
+                        "(base_options.py:19); device selection here is "
+                        "--num_devices / JAX_PLATFORMS")
     p.add_argument("--num_devices", type=int, default=None,
                    help="chips to shard the batch over (default: all)")
     return p

@@ -45,9 +45,18 @@ def main(argv=None):
     from de_i2i_gan_tpu.data.transforms import TrainTransform
     from de_i2i_gan_tpu.train.trainer import DefectGanTrainer
 
+    # multi-host: no-op single-process; on a TPU slice every host runs this
+    # same program, joins via jax.distributed, and loads its own data shard
+    from de_i2i_gan_tpu.parallel.distributed import initialize, is_primary
+    initialize()
+
     opt = Options("defectgan_train").parse(argv)
     transform = TrainTransform(opt.image_size)
     datasets, clf_loss_type = build_datasets(opt, "train", transform)
+    import jax
+    if jax.process_count() > 1:
+        from de_i2i_gan_tpu.data.datasets import shard_for_process
+        datasets = {k: shard_for_process(v) for k, v in datasets.items()}
     cfg = to_defectgan_config(opt)
     tcfg = to_train_config(opt, clf_loss_type)
 

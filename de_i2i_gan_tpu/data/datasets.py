@@ -193,3 +193,24 @@ def find_dataset_using_name(name: str):
         return SyntheticDefectDataset
     raise KeyError(f"dataset {name!r} not registered; have "
                    f"{sorted(_REGISTRY) + ['synthetic']}")
+
+
+class _ShardView:
+    """This process's contiguous slice of a map-style dataset (per-host data
+    loading on multi-host TPU slices)."""
+
+    def __init__(self, dataset, sl: slice):
+        self.dataset = dataset
+        self.clf_loss_type = getattr(dataset, "clf_loss_type", "bce")
+        self._indices = range(*sl.indices(len(dataset)))
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, index: int):
+        return self.dataset[self._indices[index]]
+
+
+def shard_for_process(dataset) -> "_ShardView":
+    from de_i2i_gan_tpu.parallel.distributed import process_shard
+    return _ShardView(dataset, process_shard(len(dataset)))

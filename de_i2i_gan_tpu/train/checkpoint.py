@@ -30,12 +30,16 @@ def save_checkpoint(ckpt_dir: Path, name: str, tag: Any, state,
                     epoch: Optional[int] = None,
                     iters: Optional[int] = None) -> Path:
     """Write state under ``tag`` (an epoch number or 'latest') and update
-    iter.txt when (epoch, iters) is given."""
+    iter.txt when (epoch, iters) is given. On multi-host runs only the
+    primary process writes (params are replicated; every host may read)."""
+    import jax
+    path = _ckpt_path(ckpt_dir, name, str(tag))
+    if jax.process_index() != 0:
+        return path
     d = Path(ckpt_dir) / name
     d.mkdir(parents=True, exist_ok=True)
     payload = serialization.msgpack_serialize(
         serialization.to_state_dict(state))
-    path = _ckpt_path(ckpt_dir, name, str(tag))
     tmp = path.with_suffix(".tmp")
     tmp.write_bytes(payload)
     os.replace(tmp, path)

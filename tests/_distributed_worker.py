@@ -29,7 +29,8 @@ from de_i2i_gan_tpu.parallel.distributed import (  # noqa: E402
     initialize, is_primary, process_shard)
 
 
-def main(addr: str, num_procs: int, pid: int) -> None:
+def main(addr: str, num_procs: int, pid: int,
+         ckpt_dir: str = "") -> None:
     initialize(coordinator_address=addr, num_processes=num_procs,
                process_id=pid)
     assert jax.process_count() == num_procs, jax.process_count()
@@ -53,8 +54,25 @@ def main(addr: str, num_procs: int, pid: int) -> None:
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
     expect = float(np.arange(2 * num_procs).sum())
     assert float(total) == expect, (float(total), expect)
+
+    # per-host data shards are disjoint contiguous views
+    from de_i2i_gan_tpu.data.datasets import shard_for_process
+    from de_i2i_gan_tpu.data.synthetic import SyntheticDefectDataset
+    ds = SyntheticDefectDataset(image_size=8, label_nc=3, length=10)
+    view = shard_for_process(ds)
+    assert len(view) == 5
+    img, lbl, _ = view[0]
+    ref_img, ref_lbl, _ = ds[pid * 5]
+    assert np.allclose(img, ref_img) and np.allclose(lbl, ref_lbl)
+
+    # checkpoint writes are primary-gated: both processes call, one file
+    if ckpt_dir:
+        from de_i2i_gan_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(ckpt_dir, "mh", "latest",
+                        {"w": np.full(3, float(pid + 1))})
     print(f"worker {pid} OK", flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    main(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else "")

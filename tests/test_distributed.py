@@ -24,14 +24,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_init_and_collective():
+def test_two_process_distributed_init_and_collective(tmp_path):
     addr = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}  # no ambient TPU registration
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), addr, "2", str(pid)],
+            [sys.executable, str(WORKER), addr, "2", str(pid),
+             str(tmp_path)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(2)
@@ -48,6 +49,14 @@ def test_two_process_distributed_init_and_collective():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} OK" in out, out
+    # primary-gated checkpointing: both processes called save_checkpoint;
+    # only process 0's write happened
+    import numpy as np
+    from flax import serialization
+    ck = tmp_path / "mh" / "latest_state.msgpack"
+    assert ck.exists()
+    raw = serialization.msgpack_restore(ck.read_bytes())
+    assert np.allclose(raw["w"], 1.0), raw  # pid 0's payload, not pid 1's
 
 
 def test_initialize_noop_single_process():

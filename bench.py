@@ -163,6 +163,22 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
     times = _time_reps(step, state, batches, n_iters, n_reps)
     imgs_per_launch = nc * batch
     img_s = imgs_per_launch * n_iters / times.mean()
+
+    # per-phase split (D-update vs G-update), timed as standalone programs
+    # (jit_super_step donated `state` during _time_reps -> fresh copy here)
+    def _phase_ms(fn):
+        jfn = jax.jit(fn)
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x,
+            steps.init_state(jax.random.PRNGKey(0)))
+        st, m = jfn(st, sub, jax.random.PRNGKey(5))
+        float(next(iter(m.values())))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            st, m = jfn(st, sub, jax.random.PRNGKey(6 + i))
+        float(next(iter(m.values())))
+        return round((time.perf_counter() - t0) / n_iters * 1e3, 2)
+
     return {
         "img_per_sec": round(float(img_s), 2),
         "img_per_sec_std": round(float(
@@ -170,6 +186,8 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
         "tflop_per_img": (round(flops / imgs_per_launch / 1e12, 4)
                           if flops else None),
         "flops_per_launch": flops,
+        "d_step_ms": _phase_ms(steps.d_step),
+        "g_step_ms": _phase_ms(steps.g_step),
     }
 
 

@@ -91,7 +91,8 @@ def _time_reps(step, state, batch, n_iters: int, n_reps: int):
 
 
 def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
-                  n_iters: int, n_reps: int = 3, **cfg_overrides):
+                  n_iters: int, n_reps: int = 3, fused_prop: bool = False,
+                  **cfg_overrides):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
 
@@ -102,7 +103,7 @@ def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
         **cfg_overrides)
     tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
     steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
-                         num_epochs=200)
+                         num_epochs=200, fused_prop=fused_prop)
     state = steps.init_state(jax.random.PRNGKey(0))
     k = jax.random.PRNGKey(1)
     batch_t = {
@@ -251,6 +252,8 @@ def main():
 
     if on_tpu:
         p2p = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8)
+        p2p_fp = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8,
+                               fused_prop=True)
         p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
         dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)
         inf = bench_infer(1024, 4, on_tpu=True, n_iters=6)
@@ -259,9 +262,11 @@ def main():
         p2p_hd = bench_pix2pix(64, 1, ipl=1, on_tpu=False, n_iters=2,
                                n_reps=2)
         dg = bench_defectgan(64, 2, on_tpu=False, n_iters=2, n_reps=2)
+        p2p_fp = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2,
+                               n_reps=2, fused_prop=True)
         inf = bench_infer(64, 2, on_tpu=False, n_iters=2, n_reps=2)
 
-    for e in (p2p, p2p_hd, dg, inf):
+    for e in (p2p, p2p_fp, p2p_hd, dg, inf):
         e["mfu"] = _mfu(e, peak)
         e.pop("flops_per_launch", None)
 
@@ -277,6 +282,14 @@ def main():
         "extra": {
             "device": f"{dev.platform}:{dev.device_kind}",
             "pix2pix_256": p2p,
+            # FusedProp joint backward (--fused_prop; arxiv 2004.03335,
+            # simultaneous-update semantics): the faster opt-in path. The
+            # primary metric stays the reference-faithful alternating step.
+            "pix2pix_256_fusedprop": {
+                **p2p_fp,
+                "vs_baseline": round(p2p_fp["img_per_sec"] / REF_P2P_A100,
+                                     2),
+            },
             "pix2pix_512_multiscaleD": p2p_hd,
             "defectgan_256": {
                 **dg,

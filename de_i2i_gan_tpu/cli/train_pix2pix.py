@@ -54,7 +54,7 @@ def main(argv=None):
         num_epochs=opt.num_epochs, continue_training=opt.continue_training,
         save_latest_freq=opt.save_latest_freq,
         save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
-        seed=opt.seed)
+        seed=opt.seed, fused_prop=opt.fused_prop)
     trainer.train(loader)
 
 

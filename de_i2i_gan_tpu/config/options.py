@@ -195,6 +195,9 @@ def add_pix2pix_args(p: argparse.ArgumentParser):
     p.add_argument("--n_layers_D", type=int, default=3)
     # TPU-native extension: iterations fused per device launch (lax.scan)
     p.add_argument("--iters_per_launch", type=int, default=4)
+    # TPU-native extension: one joint backward for both updates
+    # (FusedProp, arxiv 2004.03335; simultaneous-update semantics)
+    p.add_argument("--fused_prop", action="store_true")
     return p
 
 

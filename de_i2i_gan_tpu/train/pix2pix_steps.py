@@ -118,11 +118,12 @@ class Pix2PixSteps:
                  num_d_scales: int = 2, gan_kind: str = "lsgan",
                  lambda_l1: float = 100.0, lambda_fm: float = 10.0,
                  iters_per_epoch: int = 1000, num_epochs: int = 100,
-                 n_layers_d: int = 3):
+                 n_layers_d: int = 3, fused_prop: bool = False):
         self.cfg, self.tcfg = cfg, tcfg
         self.gan_kind = gan_kind
         self.lambda_l1 = lambda_l1
         self.lambda_fm = lambda_fm
+        self.fused_prop = fused_prop
         self.G = DefectGanGenerator(cfg)
         self.D = MultiScaleDiscriminator(num_d_scales, cfg.ndf, n_layers_d,
                                          dtype=cfg.dtype)
@@ -236,10 +237,77 @@ class Pix2PixSteps:
             metrics
 
     def train_step(self, state, batch, rng):
+        if self.fused_prop:
+            return self.fused_train_step(state, batch, rng)
         k1, k2 = jax.random.split(rng)
         state, dm = self.d_step(state, batch, k1)
         state, gm = self.g_step(state, batch, k2)
         return state, {**dm, **gm}
+
+    def fused_train_step(self, state, batch, rng):
+        """FusedProp (arxiv 2004.03335): ONE G forward and ONE joint
+        backward produce both parameter updates. The D-loss term sees
+        stop_gradient(fake); the G-loss term sees stop_gradient(d_params);
+        the primal D forward over the identical pairs is shared by XLA CSE.
+        Semantics = simultaneous updates (G's gradient uses the PRE-update
+        D), a documented deviation from the reference's alternating
+        schedule — opt in via fused_prop=True / --fused_prop.
+        """
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batch = batch_images_to_float(batch)
+        x, y = batch["input"], batch["target"]
+        b = x.shape[0]
+
+        def joint_loss(params):
+            g_params, d_params = params
+            fake, g_state = self._gen(g_params, state.G.state, x,
+                                      self._labels(x), rng, train=True)
+            fake_sg = jax.lax.stop_gradient(fake)
+            d_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, d_params)
+
+            # --- D term: live d_params, detached fake -------------------
+            duo_d = jnp.concatenate(
+                [jnp.concatenate([x, y], axis=-1),
+                 jnp.concatenate([x, fake_sg], axis=-1)], axis=0)
+            outs_d = self.D.apply({"params": d_params}, duo_d, train=True)
+            loss_d = 0.0
+            for lg, _ in outs_d:
+                loss_d = loss_d + 0.5 * (
+                    gan_loss(lg[:b], True, self.gan_kind, True) +
+                    gan_loss(lg[b:], False, self.gan_kind, True))
+            loss_d = loss_d / len(outs_d)
+
+            # --- G term: frozen d_params, live fake. Same pair ordering
+            # and train flag as the D term so the primal forwards are
+            # identical expressions XLA can CSE into one D pass. ---------
+            duo_g = jnp.concatenate(
+                [jnp.concatenate([x, y], axis=-1),
+                 jnp.concatenate([x, fake], axis=-1)], axis=0)
+            outs_g = self.D.apply({"params": d_sg}, duo_g, train=True)
+            adv = sum(gan_loss(lg[b:], True, self.gan_kind, False)
+                      for lg, _ in outs_g) / len(outs_g)
+            fm = feature_matching([[f[:b] for f in fs] for _, fs in outs_g],
+                                  [[f[b:] for f in fs] for _, fs in outs_g])
+            rec = l1(fake, y)
+            loss_g = adv + self.lambda_l1 * rec + self.lambda_fm * fm
+            metrics = {"d_loss": loss_d, "adv": adv, "l1": rec, "fm": fm}
+            return loss_d + loss_g, (g_state, metrics)
+
+        (_, (g_state, metrics)), (g_grads, d_grads) = jax.value_and_grad(
+            joint_loss, has_aux=True)((state.G.params, state.D.params))
+        d_up, d_opt = self.tx_D.update(d_grads, state.D.opt_state,
+                                       state.D.params)
+        d_params = optax.apply_updates(state.D.params, d_up)
+        g_up, g_opt = self.tx_G.update(g_grads, state.G.opt_state,
+                                       state.G.params)
+        g_params = optax.apply_updates(state.G.params, g_up)
+        ema = state.ema_G
+        if ema is not None:
+            ema = ema_update(ema, g_params, self.tcfg.ema_decay)
+        return state.replace(
+            G=NetState(g_params, g_state, g_opt),
+            D=NetState(d_params, state.D.state, d_opt),
+            ema_G=ema, step=state.step + 1), metrics
 
     def super_step(self, state, batches, rng):
         """Scan train_step over a stacked (iters_per_launch, B, ...) batch so

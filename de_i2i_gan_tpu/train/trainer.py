@@ -302,7 +302,8 @@ class Pix2PixTrainer:
                  lambda_fm: float = 10.0, iters_per_epoch: int = 1000,
                  num_epochs: int = 200, continue_training: bool = False,
                  save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
-                 save_img_freq: int = 4, seed: int = 123):
+                 save_img_freq: int = 4, seed: int = 123,
+                 fused_prop: bool = False):
         from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
         from de_i2i_gan_tpu.utils.guards import NaNGuard
         self.cfg, self.tcfg = cfg, tcfg
@@ -320,7 +321,8 @@ class Pix2PixTrainer:
                                   lambda_fm=lambda_fm,
                                   iters_per_epoch=iters_per_epoch,
                                   num_epochs=num_epochs,
-                                  n_layers_d=n_layers_d)
+                                  n_layers_d=n_layers_d,
+                                  fused_prop=fused_prop)
         self.state = self.steps.init_state(jax.random.PRNGKey(seed))
         self._guard = NaNGuard()
         self._pending = []

@@ -53,3 +53,30 @@ def test_paired_training_descends():
         assert np.isfinite(float(m["fm"])) and np.isfinite(float(m["d_loss"]))
     assert np.mean(l1s[-5:]) < np.mean(l1s[:5]), l1s
     assert state.ema_G is not None
+
+
+def test_fused_prop_training_descends():
+    """FusedProp (one joint backward for both updates, arxiv 2004.03335):
+    must train like the alternating step — L1 descends, both parameter
+    sets move, metrics finite."""
+    steps = Pix2PixSteps(CFG, TC, num_d_scales=2, iters_per_epoch=10,
+                         num_epochs=2, fused_prop=True)
+    state = steps.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    batch = {"input": jax.random.uniform(k, (2, 32, 32, 3), minval=-1,
+                                         maxval=1),
+             "target": jax.random.uniform(jax.random.PRNGKey(2),
+                                          (2, 32, 32, 3), minval=-1,
+                                          maxval=1)}
+    g0 = jax.tree_util.tree_leaves(state.G.params)[0].copy()
+    d0 = jax.tree_util.tree_leaves(state.D.params)[0].copy()
+    l1s = []
+    for i in range(20):
+        state, m = steps.jit_train_step(state, batch, jax.random.PRNGKey(3))
+        l1s.append(float(m["l1"]))
+        for v in m.values():
+            assert np.isfinite(float(v))
+    assert np.mean(l1s[-5:]) < np.mean(l1s[:5]), l1s
+    assert not np.allclose(g0, jax.tree_util.tree_leaves(state.G.params)[0])
+    assert not np.allclose(d0, jax.tree_util.tree_leaves(state.D.params)[0])
+    assert int(state.step) == 20

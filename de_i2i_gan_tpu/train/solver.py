@@ -72,6 +72,10 @@ class StarGANv2Config:
     num_embeds: int = 5
     diff_aug: str = ""
     ema_beta: float = 0.999
+    # FusedProp (arxiv 2004.03335): fuse each D+G update pair into one
+    # joint backward sharing the fake-generation forward (simultaneous-
+    # update semantics — G's gradient sees the pre-update D). Opt-in.
+    fused_prop: bool = False
     compute_dtype: str = "float32"
 
     @property
@@ -253,7 +257,7 @@ class StarGANv2Solver:
 
     # ---------------------------------------------------------------- D loss
     def d_loss_fn(self, d_params, state: SolverState, batch, rng,
-                  latent: bool):
+                  latent: bool, x_fake=None):
         cfg = self.cfg
         x_real, y_org, y_trg = batch["x_src"], batch["y_src"], batch["y_ref"]
         masks = batch.get("masks")
@@ -271,10 +275,12 @@ class StarGANv2Solver:
             jnp.sum(jnp.square(grad.astype(jnp.float32)),
                     axis=(1, 2, 3)))
 
-        s_trg = self._style(state, batch, y_trg, which="ref", latent=latent)
-        s_trg = jax.lax.stop_gradient(s_trg)
-        x_fake, _ = self._gen(state.G.params, state.G.state, x_real, s_trg,
-                              y_trg, masks)
+        if x_fake is None:
+            s_trg = self._style(state, batch, y_trg, which="ref",
+                                latent=latent)
+            s_trg = jax.lax.stop_gradient(s_trg)
+            x_fake, _ = self._gen(state.G.params, state.G.state, x_real,
+                                  s_trg, y_trg, masks)
         x_fake = jax.lax.stop_gradient(x_fake)
         x_fake = diff_augment(k2, x_fake, cfg.diff_aug)
         out_fake = self.D.apply({"params": d_params}, x_fake, y_trg)
@@ -285,7 +291,7 @@ class StarGANv2Solver:
 
     # ---------------------------------------------------------------- G loss
     def g_loss_fn(self, gms_params, state: SolverState, batch, rng,
-                  latent: bool):
+                  latent: bool, shared_fake=None):
         cfg = self.cfg
         g_params, m_params, s_params = gms_params
         x_real, y_org, y_trg = batch["x_src"], batch["y_src"], batch["y_ref"]
@@ -302,9 +308,13 @@ class StarGANv2Solver:
             return batch[f"s_{which}"]
 
         track = (not latent) and (cfg.norm_type == "sean")
-        s_trg = style("ref", latent)
-        x_fake, g_state = self._gen(g_params, state.G.state, x_real, s_trg,
-                                    y_trg, masks, track_stats=track)
+        if shared_fake is None:
+            s_trg = style("ref", latent)
+            x_fake, g_state = self._gen(g_params, state.G.state, x_real,
+                                        s_trg, y_trg, masks,
+                                        track_stats=track)
+        else:  # FusedProp: forward computed once in the joint loss
+            s_trg, x_fake, g_state = shared_fake
         k_aug, _ = jax.random.split(rng)
         out = self.D.apply({"params": state.D.params},
                            diff_augment(k_aug, x_fake, cfg.diff_aug), y_trg)
@@ -397,6 +407,70 @@ class StarGANv2Solver:
         return state.replace(G=NetState(g_params, g_state, g_opt),
                              M=new_m, S=new_s), metrics
 
+    def fused_pair_step(self, state: SolverState, batch, rng, latent: bool):
+        """FusedProp D+G pair: one joint backward over the two existing loss
+        functions. Both see the SAME rng, so the primal fake-generation
+        forward (and the style nets feeding it) are identical expressions
+        XLA CSEs into one pass; stop_gradients route D grads to the D term
+        and G/M/S grads to the G term. Simultaneous-update semantics."""
+        adain = self.cfg.norm_type == "adain"
+        m_params = state.M.params if adain else None
+        s_params = state.S.params if adain else None
+
+        cfg = self.cfg
+        x_real, y_trg = batch["x_src"], batch["y_ref"]
+        masks = batch.get("masks")
+        track = (not latent) and (cfg.norm_type == "sean")
+
+        def joint(params):
+            d_params, gms = params
+            g_params, m_par, s_par = gms
+            # the ONE fake-generation forward both terms share: the D term
+            # takes stop_gradient(x_fake); the G term differentiates it
+            if adain:
+                s_trg = (self.M.apply({"params": m_par}, batch["z_ref"],
+                                      y_trg) if latent else
+                         self.S.apply({"params": s_par}, batch["x_ref"],
+                                      y_trg))
+            else:
+                s_trg = batch["s_ref"]
+            x_fake, g_state = self._gen(g_params, state.G.state, x_real,
+                                        s_trg, y_trg, masks,
+                                        track_stats=track)
+            ld, dm = self.d_loss_fn(d_params, state, batch, rng, latent,
+                                    x_fake=jax.lax.stop_gradient(x_fake))
+            lg, (g_state, gm) = self.g_loss_fn(
+                gms, state, batch, rng, latent,
+                shared_fake=(s_trg, x_fake, g_state))
+            return ld + lg, (g_state, dm, gm)
+
+        (_, (g_state, dm, gm)), (d_grads, gms_grads) = jax.value_and_grad(
+            joint, has_aux=True)(
+            (state.D.params, (state.G.params, m_params, s_params)))
+        g_grads, m_grads, s_grads = gms_grads
+
+        d_up, d_opt = self.tx_D.update(d_grads, state.D.opt_state,
+                                       state.D.params)
+        new_d = NetState(optax.apply_updates(state.D.params, d_up), {},
+                         d_opt)
+        g_up, g_opt = self.tx_G.update(g_grads, state.G.opt_state,
+                                       state.G.params)
+        g_params = optax.apply_updates(state.G.params, g_up)
+        new_m, new_s = state.M, state.S
+        if adain and latent:
+            mu, m_opt = self.tx_M.update(m_grads, state.M.opt_state,
+                                         state.M.params)
+            new_m = NetState(optax.apply_updates(state.M.params, mu), {},
+                             m_opt)
+            su, s_opt = self.tx_S.update(s_grads, state.S.opt_state,
+                                         state.S.params)
+            new_s = NetState(optax.apply_updates(state.S.params, su), {},
+                             s_opt)
+        state = state.replace(D=new_d,
+                              G=NetState(g_params, g_state, g_opt),
+                              M=new_m, S=new_s)
+        return state, dm, gm
+
     def train_step(self, state: SolverState, batch, rng):
         """One reference iteration (solver.py:258-313): adain = latent D + ref
         D + latent G + ref G; sean = ref D + ref G. Then EMA + stat EMA."""
@@ -404,16 +478,27 @@ class StarGANv2Solver:
         adain = cfg.norm_type == "adain"
         metrics = {}
         keys = jax.random.split(rng, 4)
-        if adain:
-            state, m = self.d_step(state, batch, keys[0], latent=True)
-            metrics.update({f"D/latent_{k}": v for k, v in m.items()})
-        state, m = self.d_step(state, batch, keys[1], latent=False)
-        metrics.update({f"D/ref_{k}": v for k, v in m.items()})
-        if adain:
-            state, m = self.g_step(state, batch, keys[2], latent=True)
-            metrics.update({f"G/latent_{k}": v for k, v in m.items()})
-        state, m = self.g_step(state, batch, keys[3], latent=False)
-        metrics.update({f"G/ref_{k}": v for k, v in m.items()})
+        if cfg.fused_prop:
+            if adain:
+                state, dm, gm = self.fused_pair_step(state, batch, keys[0],
+                                                     latent=True)
+                metrics.update({f"D/latent_{k}": v for k, v in dm.items()})
+                metrics.update({f"G/latent_{k}": v for k, v in gm.items()})
+            state, dm, gm = self.fused_pair_step(state, batch, keys[1],
+                                                 latent=False)
+            metrics.update({f"D/ref_{k}": v for k, v in dm.items()})
+            metrics.update({f"G/ref_{k}": v for k, v in gm.items()})
+        else:
+            if adain:
+                state, m = self.d_step(state, batch, keys[0], latent=True)
+                metrics.update({f"D/latent_{k}": v for k, v in m.items()})
+            state, m = self.d_step(state, batch, keys[1], latent=False)
+            metrics.update({f"D/ref_{k}": v for k, v in m.items()})
+            if adain:
+                state, m = self.g_step(state, batch, keys[2], latent=True)
+                metrics.update({f"G/latent_{k}": v for k, v in m.items()})
+            state, m = self.g_step(state, batch, keys[3], latent=False)
+            metrics.update({f"G/ref_{k}": v for k, v in m.items()})
 
         # EMA (solver.py:549-563). NB the reference lerps
         # torch.lerp(param, param_test, beta) -> ema = p + beta (ema - p)

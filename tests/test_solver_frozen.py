@@ -86,3 +86,28 @@ def test_generate_with_ema_stats_sampling():
                           use_ema=True, inference_stats=True, std_weight=2.0)
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_prop_pair_step():
+    """FusedProp solver step (one joint backward per D+G pair): finite
+    metrics, both nets move, same metric keys as the alternating path."""
+    from dataclasses import replace as dc_replace
+    cfg = dc_replace(CFG, fused_prop=True, norm_type="adain")
+    solver = StarGANv2Solver(cfg)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    batch = _sean_batch()
+    batch = {**batch,
+             "x_ref": batch["x_src"], "x_ref2": batch["x_src"],
+             "z_ref": jax.random.normal(jax.random.PRNGKey(7), (2, 4)),
+             "z_ref2": jax.random.normal(jax.random.PRNGKey(8), (2, 4))}
+    d0 = jax.tree_util.tree_leaves(state.D.params)[0].copy()
+    g0 = jax.tree_util.tree_leaves(state.G.params)[0].copy()
+    new_state, m = solver.train_step(state, batch, jax.random.PRNGKey(2))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    assert {"D/ref_real", "G/ref_adv", "D/latent_real",
+            "G/latent_adv"} <= set(m)
+    assert not np.allclose(d0, jax.tree_util.tree_leaves(
+        new_state.D.params)[0])
+    assert not np.allclose(g0, jax.tree_util.tree_leaves(
+        new_state.G.params)[0])

@@ -89,6 +89,9 @@ def build_parser():
                    help="HF ViT name/local path for the frozen sean-mode "
                         "feature extractor (random init if omitted)")
     p.add_argument("--DiffAugment", type=str, default="")
+    p.add_argument("--fused_prop", action="store_true",
+                   help="FusedProp joint D+G backward (arxiv 2004.03335; "
+                        "simultaneous-update semantics, ~7-9% faster)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     # MAE pretrain mode (main.py:171-175)
     p.add_argument("--patch_size", type=int, default=32)
@@ -176,6 +179,7 @@ def main(argv=None):
         batch_size=args.batch_size, lr=args.lr, f_lr=args.f_lr,
         beta1=args.beta1, beta2=args.beta2, weight_decay=args.weight_decay,
         num_embeds=args.num_embeds, diff_aug=args.DiffAugment,
+        fused_prop=args.fused_prop,
         compute_dtype=args.compute_dtype)
 
     if args.mode == "align":

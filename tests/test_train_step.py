@@ -105,3 +105,38 @@ def test_generate_shapes_and_ema():
     img_ema, _ = steps.jit_generate(state, batch["bg"], batch["df_labels"],
                                     use_ema=True)
     assert not np.allclose(np.asarray(img), np.asarray(img_ema))
+
+
+def test_u8_super_batch_matches_f32():
+    """A u8-quantized super-batch through the real super_step must produce
+    the same update as its f32 reconstruction (images_to_float at the step
+    entry is exactly the inverse of dl_next_u8's quantization)."""
+    import numpy as np
+    from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
+    from de_i2i_gan_tpu.train.steps import DefectGanSteps
+
+    cfg = DefectGanConfig(image_size=16, label_nc=3, ngf=4, ndf=4,
+                          num_scales=1, num_res=2, hidden_nc=8, num_layers=2)
+    tcfg = TrainConfig(batch_size=2, num_critics=2, lr=(2e-4, 1e-4))
+    steps = DefectGanSteps(cfg, tcfg, iters_per_epoch=10, num_epochs=1)
+
+    k = jax.random.PRNGKey(1)
+    u8 = {"bg": jax.random.randint(k, (2, 2, 16, 16, 3), 0, 256,
+                                   jnp.uint8),
+          "df": jax.random.randint(jax.random.PRNGKey(2),
+                                   (2, 2, 16, 16, 3), 0, 256, jnp.uint8),
+          "df_labels": jnp.tile(jnp.eye(3)[1][None, None], (2, 2, 1))}
+    f32 = {**u8,
+           "bg": u8["bg"].astype(jnp.float32) / 127.5 - 1.0,
+           "df": u8["df"].astype(jnp.float32) / 127.5 - 1.0}
+
+    s_u8, m_u8 = steps.super_step(steps.init_state(jax.random.PRNGKey(0)),
+                                  u8, jax.random.PRNGKey(3))
+    s_f32, m_f32 = steps.super_step(steps.init_state(jax.random.PRNGKey(0)),
+                                    f32, jax.random.PRNGKey(3))
+    for key in m_u8:
+        np.testing.assert_allclose(float(m_u8[key]), float(m_f32[key]),
+                                   rtol=1e-5, err_msg=key)
+    a = jax.tree_util.tree_leaves(s_u8.G.params)[0]
+    b = jax.tree_util.tree_leaves(s_f32.G.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -251,8 +251,10 @@ def main():
     peak = PEAK_FLOPS.get(dev.device_kind) if on_tpu else None
 
     if on_tpu:
-        p2p = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8)
-        p2p_fp = bench_pix2pix(256, 8, ipl=2, on_tpu=True, n_iters=8,
+        # ipl=4 matches the trainer's --iters_per_launch default (the scan
+        # amortizes per-launch overhead; benchmarks/batch_scaling.json)
+        p2p = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4)
+        p2p_fp = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4,
                                fused_prop=True)
         p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
         dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)

@@ -76,7 +76,11 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=4,
                    help="host loader threads")
     p.add_argument("--num_val_refs", type=int, default=4)
-    p.add_argument("--update_sean_every", type=int, default=10)
+    p.add_argument("--update_sean_every", type=int, default=1,
+                   help="fold SEAN running-style stats every N iters; 1 "
+                        "matches the reference (core/solver.py:301 calls "
+                        "update_stats() every iteration), larger values "
+                        "are a cheaper opt-in cadence")
     p.add_argument("--src_dir", type=Path, default=None,
                    help="sample mode: source image folder (default "
                         "val_img_dir)")

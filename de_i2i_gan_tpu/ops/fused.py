@@ -41,7 +41,7 @@ def modulated_instance_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     NormConvBlock/NormResBlock (architecture.py:244, 347-348).
     """
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and on_tpu and fits_vmem(x.shape):
+    if use_pallas and on_tpu and fits_vmem(x.shape, x.dtype):
         return pallas_modulated_instance_norm(x, gamma, beta, act, eps)
     return _xla_modulated_instance_norm(x, gamma, beta, act, eps)
 

@@ -156,9 +156,24 @@ def _specs(hw, c):
     return slab, vec
 
 
+def _check_shape(hw: int, c: int) -> None:
+    # the chunked kernels iterate hw // chunk full chunks; a remainder
+    # would be silently dropped from the moments AND the output, so
+    # ineligible shapes must fail loudly (fits_vmem gates the normal
+    # dispatch path, but direct / interpret-mode calls bypass it)
+    chunk = min(hw, CHUNK)
+    if hw % chunk != 0:
+        raise ValueError(
+            f"pallas modulated IN requires HW % {chunk} == 0, got HW={hw}")
+    if c % LANE != 0:
+        raise ValueError(
+            f"pallas modulated IN requires C % {LANE} == 0, got C={c}")
+
+
 def _fwd_call(x, gamma, beta, act, eps, interpret):
     n, h, w, c = x.shape
     hw = h * w
+    _check_shape(hw, c)
     xr = x.reshape(n, hw, c)
     g3 = gamma.reshape(n, 1, c).astype(jnp.float32)
     b3 = beta.reshape(n, 1, c).astype(jnp.float32)
@@ -179,6 +194,7 @@ def _fwd_call(x, gamma, beta, act, eps, interpret):
 def _bwd_call(x, gamma, beta, mean, inv, dy, act, interpret):
     n, h, w, c = x.shape
     hw = h * w
+    _check_shape(hw, c)
     xr = x.reshape(n, hw, c)
     dyr = dy.reshape(n, hw, c)
     g3 = gamma.reshape(n, 1, c).astype(jnp.float32)

@@ -26,13 +26,19 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def process_shard(n_items: int) -> slice:
-    """This host's contiguous shard of a dataset (per-host data loading)."""
+    """This host's contiguous shard of a dataset (per-host data loading).
+
+    Every host gets exactly ``n_items // process_count`` items — the
+    remainder is DROPPED. Loader lengths (and hence the number of jitted
+    global-mesh super-steps per epoch) derive from the shard size, so
+    unequal shards would deadlock the collective program on a real
+    multi-host slice when one host runs an extra step.
+    """
     import jax
     pid, n = jax.process_index(), jax.process_count()
     per = n_items // n
     start = pid * per
-    end = n_items if pid == n - 1 else start + per
-    return slice(start, end)
+    return slice(start, start + per)
 
 
 def is_primary() -> bool:

@@ -92,8 +92,17 @@ def main(argv=None):
                       else EmbeddingBank.from_torch_file(opt.embed_path,
                                                          cfg.label_nc))
 
+    # multi-chip data parallelism (on by default when >1 device is visible;
+    # on a multi-host slice the mesh spans every host's chips and each host
+    # feeds its own data shard)
+    from de_i2i_gan_tpu.parallel.mesh import mesh_from_flag
+    mesh = mesh_from_flag(opt.data_parallel, opt.batch_size)
+    if mesh is not None and is_primary():
+        print(f"data-parallel over {mesh.devices.size} devices")
+
     trainer = DefectGanTrainer(
         cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
+        mesh=mesh,
         iters_per_epoch=len(df_loader), num_epochs=opt.num_epochs,
         continue_training=opt.continue_training,
         load_model_name=opt.load_model_name, which_epoch=opt.which_epoch,

@@ -87,6 +87,13 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--native_cache_dir", type=Path, default=None,
                    help="decoded-image cache location (default: "
                         "<ckpt_dir>/native_cache/<name>)")
+    # TPU-native extension: multi-chip data parallelism over a jax mesh
+    p.add_argument("--data_parallel", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="shard the batch over all local devices (params "
+                        "replicated, GSPMD grad all-reduce over ICI). "
+                        "'auto' enables it when >1 device is visible and "
+                        "batch_size divides evenly")
     return p
 
 
@@ -195,6 +202,8 @@ def add_pix2pix_args(p: argparse.ArgumentParser):
     p.add_argument("--n_layers_D", type=int, default=3)
     # TPU-native extension: iterations fused per device launch (lax.scan)
     p.add_argument("--iters_per_launch", type=int, default=4)
+    p.add_argument("--max_dataset_size", type=int, default=0,
+                   help="cap the train set size (0 = unlimited)")
     # TPU-native extension: one joint backward for both updates
     # (FusedProp, arxiv 2004.03335; simultaneous-update semantics)
     p.add_argument("--fused_prop", action="store_true")

@@ -140,7 +140,7 @@ class SuperBatchLoader:
             yield {self.key: np.stack(imgs), "labels": np.stack(labels)}
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, sharding=None):
     """Move batches to device ahead of consumption so the host fetch AND the
     H2D transfer of batch k+1 overlap the computation of batch k (the
     north-star requirement that the input pipeline never stalls the TPU).
@@ -158,25 +158,57 @@ def device_prefetch(iterator, depth: int = 2):
     buf: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(depth, 1))
     sentinel = object()
     err = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded-timeout put so the producer can notice an abandoned
+        # consumer (exception / break / short bench) and exit instead of
+        # blocking forever and pinning the underlying loader's threads
+        while not stop.is_set():
+            try:
+                buf.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    if sharding is None:
+        put = jax.device_put
+    elif jax.process_count() > 1:
+        # multi-host mesh: each process contributes its local batch rows
+        put = (lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)))
+    else:
+        put = (lambda x: jax.device_put(x, sharding))
 
     def produce():
         try:
             for batch in iterator:
-                buf.put(jax.tree_util.tree_map(jax.device_put, batch))
+                if not _put(jax.tree_util.tree_map(put, batch)):
+                    return
         except BaseException as e:  # surface loader errors to the consumer
             err.append(e)
         finally:
-            buf.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
-    while True:
-        item = buf.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = buf.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer mid-put unblocks promptly
+        try:
+            while True:
+                buf.get_nowait()
+        except queue_mod.Empty:
+            pass
 
 
 class DualStreamLoader:

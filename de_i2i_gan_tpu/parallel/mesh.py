@@ -57,28 +57,81 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Sharding with 'data' on ``batch_axis`` (axis 1 for the
+    (num_critics/iters_per_launch, B, ...) super-batches)."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), "data"))
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
     """Device-put a host batch with the batch axis sharded over 'data'."""
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, batch_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def make_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True):
+def make_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True,
+                       batch_axis: int = 0):
     """Wrap a (state, batch, rng) -> (state, metrics) step for the mesh:
-    state/rng replicated, batch sharded on the leading axis. GSPMD handles the
+    state/rng replicated, batch sharded on ``batch_axis``. GSPMD handles the
     per-network gradient all-reduce over ICI."""
     repl = replicate(mesh)
-    data = batch_sharding(mesh)
+    data = batch_sharding(mesh, batch_axis)
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Host pytree -> fully-replicated mesh arrays (multi-host safe: every
+    process must hold the same values, e.g. a same-seed init or a loaded
+    checkpoint)."""
+    sh = replicate(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.device_put(tree, sh)
+
+
+def put_batch(batch: Any, sharding: NamedSharding) -> Any:
+    """Host batch -> mesh array under ``sharding``. On multi-host meshes each
+    process contributes its local rows (global batch = per-host batch x
+    process_count along the sharded axis)."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding),
+                                  batch)
+
+
+def mesh_from_flag(mode: str, batch_size: int) -> Optional[Mesh]:
+    """Resolve the --data_parallel CLI flag ('auto'|'on'|'off') to a Mesh.
+
+    'auto': a 1-D data mesh over ALL devices (all hosts' chips under
+    jax.distributed) when more than one is visible and the per-host batch
+    divides the local device count; None otherwise. 'on' raises instead of
+    silently falling back.
+    """
+    if mode == "off":
+        return None
+    n_local = len(jax.local_devices())
+    n_total = len(jax.devices())
+    if n_total <= 1:
+        if mode == "on":
+            raise RuntimeError("--data_parallel on: only one device visible")
+        return None
+    if batch_size % n_local != 0:
+        msg = (f"--data_parallel: batch_size {batch_size} does not divide "
+               f"{n_local} local devices")
+        if mode == "on":
+            raise RuntimeError(msg)
+        print(f"[data_parallel] {msg}; running single-device")
+        return None
+    return Mesh(np.asarray(jax.devices()), ("data",))
 
 
 def spatial_sharded_inference(apply_fn, mesh: Mesh):

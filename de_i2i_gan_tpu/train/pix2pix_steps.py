@@ -49,6 +49,10 @@ class PatchDiscriminatorFeatures(nn.Module):
         feats.append(h)
         crt = self.ndf
         for i in range(self.num_layers):
+            # k4/p1 on a <2px map would produce an EMPTY tensor (and NaN
+            # means downstream); stop deepening at tiny test scales
+            if h.shape[1] < 2:
+                break
             crt = min(crt * 2, 512)
             stride = (2, 2) if i < self.num_layers - 1 else (1, 1)
             h = ConvBlock(crt, (4, 4), stride, 1, norm="instance",
@@ -387,6 +391,8 @@ class Pix2PixSteps:
     def generate(self, state: GANTrainState, x: jax.Array,
                  use_ema: bool = True):
         """Folder-inference forward: EMA generator when available."""
+        from de_i2i_gan_tpu.ops.fused import images_to_float
+        x = images_to_float(x)  # u8 loader batches normalize on device
         params = state.ema_G if (use_ema and state.ema_G is not None) \
             else state.G.params
         out, _ = self._gen(params, state.G.state, x, self._labels(x),

@@ -70,8 +70,14 @@ class DefectGanTrainer:
                  load_model_name: Optional[str] = None,
                  which_epoch: str = "latest",
                  save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
-                 save_img_freq: int = 4, seed: int = 123, embed_bank=None):
+                 save_img_freq: int = 4, seed: int = 123, embed_bank=None,
+                 mesh=None):
         self.cfg, self.tcfg = cfg, tcfg
+        # multi-chip data parallelism: batch sharded over mesh('data'),
+        # params/opt/EMA replicated, gradient all-reduce by GSPMD over ICI
+        # (the reference's only analog is single-process nn.DataParallel,
+        # stargan-v2/core/model.py:694-704)
+        self.mesh = mesh
         # SEAN style-embedding bank (--embed_path, defectgan_model.py:43-45)
         self.embed_bank = embed_bank
         # divergence detection + rollback (SURVEY.md §5.3)
@@ -93,6 +99,20 @@ class DefectGanTrainer:
 
         self.steps = DefectGanSteps(cfg, tcfg, iters_per_epoch, num_epochs)
         self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self._batch_sharding = None
+        if mesh is not None:
+            from de_i2i_gan_tpu.parallel.mesh import (
+                batch_sharding, make_parallel_step)
+            n_local = int(mesh.devices.size) // jax.process_count()
+            assert tcfg.batch_size % n_local == 0, (
+                f"per-host batch_size {tcfg.batch_size} not divisible by "
+                f"{n_local} local mesh devices")
+            # super-batches are (num_critics, B, ...): shard axis 1
+            self._batch_sharding = batch_sharding(mesh, batch_axis=1)
+            self._step = make_parallel_step(self.steps.super_step, mesh,
+                                            batch_axis=1)
+        else:
+            self._step = self.steps.jit_super_step
         self.first_epoch, self.iters = 1, 0
         if continue_training and latest_exists(self.ckpt_dir, name):
             self.state = load_checkpoint(self.ckpt_dir, name, "latest",
@@ -133,9 +153,14 @@ class DefectGanTrainer:
             tqdm = None
         nc = self.tcfg.num_critics
         from de_i2i_gan_tpu.data.pipeline import device_prefetch
+        if self.mesh is not None:
+            # replicate params/opt/EMA over the mesh (after any resume load)
+            from de_i2i_gan_tpu.parallel.mesh import put_replicated
+            self.state = put_replicated(self.state, self.mesh)
         for epoch in range(self.first_epoch, self.num_epochs + 1):
             sums, counts = defaultdict(float), defaultdict(int)
-            it = device_prefetch(train_loader)
+            it = device_prefetch(train_loader,
+                                 sharding=self._batch_sharding)
             bar = tqdm(it, total=len(train_loader), colour="MAGENTA",
                        desc=f"Epoch [{epoch}/{self.num_epochs}]") \
                 if (progress and tqdm) else it
@@ -147,7 +172,7 @@ class DefectGanTrainer:
                     super_batch = attach_embeddings(
                         super_batch, self.embed_bank, self.cfg.num_embeds,
                         k_emb)
-                new_state, metrics = self.steps.jit_super_step(
+                new_state, metrics = self._step(
                     self.state, super_batch, key)
                 self._pending.append(metrics)
                 self.state = new_state
@@ -303,10 +328,17 @@ class Pix2PixTrainer:
                  num_epochs: int = 200, continue_training: bool = False,
                  save_latest_freq: int = 1000, save_ckpt_freq: int = 4,
                  save_img_freq: int = 4, seed: int = 123,
-                 fused_prop: bool = False):
+                 fused_prop: bool = False, mesh=None):
         from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
         from de_i2i_gan_tpu.utils.guards import NaNGuard
         self.cfg, self.tcfg = cfg, tcfg
+        # multi-chip DP (see DefectGanTrainer.mesh)
+        self.mesh = mesh
+        if mesh is not None:
+            n_local = int(mesh.devices.size) // jax.process_count()
+            assert tcfg.batch_size % n_local == 0, (
+                f"per-host batch_size {tcfg.batch_size} not divisible by "
+                f"{n_local} local mesh devices")
         self.name = name
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
@@ -358,19 +390,31 @@ class Pix2PixTrainer:
             tqdm = None
         ipl = getattr(loader, "iters_per_launch", 1)
         from de_i2i_gan_tpu.data.pipeline import device_prefetch
-        step_fn = self.steps.jit_super_step if ipl > 1 \
-            else self.steps.jit_train_step
+        batch_sh = None
+        if self.mesh is not None:
+            from de_i2i_gan_tpu.parallel.mesh import (
+                batch_sharding, make_parallel_step, put_replicated)
+            ba = 1 if ipl > 1 else 0
+            batch_sh = batch_sharding(self.mesh, ba)
+            step_fn = make_parallel_step(
+                self.steps.super_step if ipl > 1 else self.steps.train_step,
+                self.mesh, batch_axis=ba)
+            self.state = put_replicated(self.state, self.mesh)
+        else:
+            step_fn = self.steps.jit_super_step if ipl > 1 \
+                else self.steps.jit_train_step
         vis_batch = None
         for epoch in range(self.first_epoch, self.num_epochs + 1):
             sums, counts = defaultdict(float), defaultdict(int)
-            it = device_prefetch(loader)
+            it = device_prefetch(loader, sharding=batch_sh)
             bar = tqdm(it, total=len(loader), colour="MAGENTA",
                        desc=f"pix2pix [{epoch}/{self.num_epochs}]") \
                 if (progress and tqdm) else it
             for batch in bar:
                 if vis_batch is None:
                     vis_batch = jax.tree_util.tree_map(
-                        lambda x: np.asarray(x[0] if ipl > 1 else x)[:4],
+                        lambda x: _host_images_to_float(
+                            np.asarray(x[0] if ipl > 1 else x)[:4]),
                         batch)
                 self._rng, key = jax.random.split(self._rng)
                 new_state, metrics = step_fn(self.state, batch, key)
@@ -477,6 +521,13 @@ class WGanTrainer:
                         epoch=self.num_epochs, iters=self.iters)
         writer.close()
         return self.state
+
+
+def _host_images_to_float(x: np.ndarray) -> np.ndarray:
+    """u8 loader batches -> [-1,1] f32 on host (visualization panels)."""
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 127.5 - 1.0
+    return x
 
 
 def _generate_grid_impl(trainer, bg_images, labels, img_only):

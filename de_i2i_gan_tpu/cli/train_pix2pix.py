@@ -17,16 +17,33 @@ from __future__ import annotations
 import sys
 
 
+class _Subset:
+    """First-N view of a paired dataset (--max_dataset_size)."""
+
+    def __init__(self, dataset, n: int):
+        self.dataset = dataset
+        self._n = min(n, len(dataset))
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, index: int):
+        return self.dataset[index]
+
+
 def build_dataset(opt, phase: str):
     from de_i2i_gan_tpu.data.paired import (AlignedDataset,
                                             SyntheticPairedDataset)
+    cap = getattr(opt, "max_dataset_size", 0) or 0
     if opt.dataroot is None or str(opt.dataroot) == "synthetic":
+        n = 512 if phase == "train" else 64
         return SyntheticPairedDataset(
             image_size=opt.crop_size,
-            length=512 if phase == "train" else 64, seed=opt.seed)
-    return AlignedDataset(opt.dataroot, phase, load_size=opt.load_size,
-                          crop_size=opt.crop_size, flip=not opt.no_flip,
-                          direction=opt.direction, seed=opt.seed)
+            length=min(n, cap) if cap else n, seed=opt.seed)
+    ds = AlignedDataset(opt.dataroot, phase, load_size=opt.load_size,
+                        crop_size=opt.crop_size, flip=not opt.no_flip,
+                        direction=opt.direction, seed=opt.seed)
+    return _Subset(ds, cap) if cap else ds
 
 
 def main(argv=None):
@@ -41,12 +58,38 @@ def main(argv=None):
 
     dataset = build_dataset(opt, "train")
     num_d = opt.num_D if opt.netD == "multiscale" else 1
-    loader = PairedLoader(dataset, opt.batch_size, seed=opt.seed,
-                          iters_per_launch=max(opt.iters_per_launch, 1))
+    if opt.native_loader:
+        from de_i2i_gan_tpu.runtime.native_loader import (
+            make_paired_native_loader, native_available)
+        assert native_available(), "--native_loader needs a C++ toolchain"
+        # cache the UNaugmented pairs at load_size; the C++ side owns the
+        # shared random-crop + hflip (aug_mode=2) and ships u8 batches
+        raw = build_dataset(opt, "train")
+        raw = getattr(raw, "dataset", raw)  # unwrap --max_dataset_size view
+        if hasattr(raw, "load_size"):  # file-backed: disable host-side aug
+            raw.load_size = opt.load_size
+            raw.crop_size = opt.load_size
+            raw.flip = False
+        root = opt.native_cache_dir or (
+            opt.ckpt_dir / "native_cache" / opt.name)
+        loader = make_paired_native_loader(
+            raw, root / "pairs", opt.crop_size, opt.batch_size,
+            load_size=opt.load_size, seed=opt.seed,
+            iters_per_launch=max(opt.iters_per_launch, 1))
+    else:
+        loader = PairedLoader(dataset, opt.batch_size, seed=opt.seed,
+                              iters_per_launch=max(opt.iters_per_launch, 1))
     print(f"{len(dataset)} paired train images")
+
+    # multi-chip data parallelism (on by default when >1 device is visible)
+    from de_i2i_gan_tpu.parallel.mesh import mesh_from_flag
+    mesh = mesh_from_flag(opt.data_parallel, opt.batch_size)
+    if mesh is not None:
+        print(f"data-parallel over {mesh.devices.size} devices")
 
     trainer = Pix2PixTrainer(
         cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
+        mesh=mesh,
         num_d_scales=num_d, n_layers_d=opt.n_layers_D,
         gan_kind=opt.gan_mode, lambda_l1=opt.lambda_L1,
         lambda_fm=opt.lambda_feat,
@@ -56,7 +99,8 @@ def main(argv=None):
         save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
         seed=opt.seed, fused_prop=opt.fused_prop)
     trainer.train(loader)
+    return trainer
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

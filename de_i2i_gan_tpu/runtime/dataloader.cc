@@ -111,6 +111,7 @@ class Loader {
   bool ok() const { return ok_; }
   int label_nc() const { return label_nc_; }
   uint32_t n_items() const { return (uint32_t)items_.size(); }
+  void set_crop_frac(float f) { crop_frac_ = f; }
 
   // blocking: copy one batch out. returns 0 on success.
   int next(float* out_images, float* out_labels) {
@@ -191,6 +192,30 @@ class Loader {
     return top + fy * (bot - top);
   }
 
+  // integer-exact random crop + hflip, no resampling: the canonical pix2pix
+  // resize(load_size) -> random-crop(crop_size) schedule when the cache is
+  // stored at load_size. ~10x cheaper than the bilinear path (pure copy +
+  // normalize), which keeps a 1-core host ahead of the TPU step rate.
+  void crop_copy(const Item& it, const uint8_t* src, int iy, int ix,
+                 bool hflip, float* img_out) {
+    const int S = image_size_, C = channels_;
+    for (int y = 0; y < S; ++y) {
+      const uint8_t* row = src + (size_t(iy + y) * it.w + ix) * C;
+      float* dst = img_out + size_t(y) * S * C;
+      if (!hflip) {
+        for (int i = 0; i < S * C; ++i)
+          dst[i] = row[i] * (2.f / 255.f) - 1.f;
+      } else {
+        for (int x = 0; x < S; ++x) {
+          const uint8_t* p = row + size_t(S - 1 - x) * C;
+          float* d = dst + size_t(x) * C;
+          for (int ch = 0; ch < C; ++ch)
+            d[ch] = p[ch] * (2.f / 255.f) - 1.f;
+        }
+      }
+    }
+  }
+
   void decode_one(std::mt19937& gen, uint32_t idx, float* img_out,
                   float* lbl_out) {
     const Item& it = items_[idx];
@@ -198,11 +223,33 @@ class Loader {
     const int S = image_size_;
     std::uniform_real_distribution<float> uni(0.f, 1.f);
 
+    if (augment_ == 2 && it.h >= S && it.w >= S) {
+      int iy = std::min((int)(uni(gen) * (it.h - S + 1)), it.h - S);
+      int ix = std::min((int)(uni(gen) * (it.w - S + 1)), it.w - S);
+      crop_copy(it, src, iy, ix, uni(gen) < 0.5f, img_out);
+      std::memcpy(lbl_out, &labels_[size_t(idx) * label_nc_],
+                  label_nc_ * sizeof(float));
+      return;
+    }
+
     float crop_h = it.h, crop_w = it.w;
     float y_off = 0.f, x_off = 0.f;
     bool hflip = false, vflip = false;
     float br = 1.f, sat = 1.f, con = 1.f;
-    if (augment_) {
+    const bool jitter = (augment_ == 1);
+    if (augment_ == 2) {
+      // paired-i2i augmentation (pix2pix resize->random-crop->hflip):
+      // crop a crop_frac_ window (= crop_size/load_size of the cached
+      // image) at a random offset, horizontal flip only, NO color jitter
+      // (the target photo is supervision; photometric noise would corrupt
+      // the regression). Channels carry A|B stacked, so the identical
+      // window/flip applies to both halves by construction.
+      crop_h = it.h * crop_frac_;
+      crop_w = it.w * crop_frac_;
+      y_off = uni(gen) * (it.h - crop_h);
+      x_off = uni(gen) * (it.w - crop_w);
+      hflip = uni(gen) < 0.5f;
+    } else if (augment_) {
       // random resized crop: scale (0.6, 1.0) of area, ratio (3/4, 4/3)
       float area = float(it.h) * float(it.w);
       for (int attempt = 0; attempt < 10; ++attempt) {
@@ -252,7 +299,7 @@ class Loader {
           grey += v;
         }
         grey /= C;
-        if (augment_) {
+        if (jitter) {
           for (int ch = 0; ch < C; ++ch) {
             float v = dst[ch] * br;                    // brightness
             v = grey * br + (v - grey * br) * sat;     // saturation
@@ -262,7 +309,7 @@ class Loader {
         }
       }
     }
-    if (augment_) {
+    if (jitter) {
       mean_all /= float(S) * S * C;
       for (size_t i = 0; i < size_t(S) * S * C; ++i) {
         float v = mean_all + (img_out[i] - mean_all) * con;  // contrast
@@ -302,6 +349,7 @@ class Loader {
   static constexpr size_t kQueueCap = 8;
   bool ok_ = true;
   int image_size_, batch_, augment_;
+  float crop_frac_ = 256.f / 286.f;  // pix2pix crop_size/load_size default
   uint64_t seed_;
   int label_nc_ = 0, channels_ = 3;
   const uint8_t* cache_ = nullptr;
@@ -347,6 +395,11 @@ int dl_label_nc(void* handle) {
 
 unsigned int dl_n_items(void* handle) {
   return static_cast<Loader*>(handle)->n_items();
+}
+
+// paired mode (augment=2): crop window fraction = crop_size / load_size
+void dl_set_crop_frac(void* handle, float frac) {
+  static_cast<Loader*>(handle)->set_crop_frac(frac);
 }
 
 void dl_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -68,6 +68,8 @@ def _load_lib():
                                     ctypes.POINTER(ctypes.c_float)]
         _lib.dl_label_nc.restype = ctypes.c_int
         _lib.dl_label_nc.argtypes = [ctypes.c_void_p]
+        _lib.dl_set_crop_frac.restype = None
+        _lib.dl_set_crop_frac.argtypes = [ctypes.c_void_p, ctypes.c_float]
         _lib.dl_n_items.restype = ctypes.c_uint
         _lib.dl_n_items.argtypes = [ctypes.c_void_p]
         _lib.dl_destroy.argtypes = [ctypes.c_void_p]
@@ -128,14 +130,20 @@ class NativeDataLoader:
     def __init__(self, cache_path: Path, index_path: Path, image_size: int,
                  batch_size: int, num_threads: int = 2, seed: int = 123,
                  augment: bool = True, channels: int = 3,
-                 output_u8: bool = False):
+                 output_u8: bool = False, aug_mode: Optional[int] = None,
+                 crop_frac: Optional[float] = None):
         lib = _load_lib()
         self._lib = lib
+        # aug modes: 0 center-crop, 1 RRC+flips+jitter (defectGAN),
+        # 2 paired random-crop+hflip (pix2pix; no jitter)
+        mode = aug_mode if aug_mode is not None else int(augment)
         self._handle = lib.dl_create(
             str(cache_path).encode(), str(index_path).encode(),
-            image_size, batch_size, num_threads, seed, int(augment))
+            image_size, batch_size, num_threads, seed, mode)
         if not self._handle:
             raise RuntimeError("failed to open native loader cache")
+        if crop_frac is not None:
+            lib.dl_set_crop_frac(self._handle, float(crop_frac))
         self.batch_size = batch_size
         self.image_size = image_size
         self.channels = channels
@@ -199,6 +207,81 @@ class EpochView:
     def __iter__(self) -> Iterator:
         for _ in range(self._n):
             yield next(self.loader)
+
+
+class RawPairView:
+    """(input, target, path) paired dataset -> (H, W, 6) channel-stacked raw
+    samples for the native cache, so the C++ side's crop window and flip
+    apply identically to both halves (the pix2pix 'same params for A and B'
+    invariant, by construction)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        a, b, path = self.dataset[index]
+        pair = np.concatenate([np.asarray(a), np.asarray(b)], axis=-1)
+        return pair, np.zeros(1, np.float32), path
+
+
+class PairedNativeLoader:
+    """{'input','target'} u8 batches from the C++ runtime (aug_mode=2), with
+    an optional leading (iters_per_launch,) axis for the scan super-step —
+    the native counterpart of data.paired.PairedLoader."""
+
+    def __init__(self, loader: NativeDataLoader, n_pairs: int,
+                 iters_per_launch: int = 1):
+        assert loader.channels == 6, "paired cache must be 6-channel"
+        self.loader = loader
+        self.iters_per_launch = iters_per_launch
+        self.batch_size = loader.batch_size
+        self._n = max(1, n_pairs // loader.batch_size
+                      // max(iters_per_launch, 1))
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self) -> Iterator:
+        ipl = max(self.iters_per_launch, 1)
+        for _ in range(self._n):
+            group = []
+            for _ in range(ipl):
+                imgs, _, _ = next(self.loader)
+                group.append(imgs)
+            if ipl == 1:
+                yield {"input": group[0][..., :3],
+                       "target": group[0][..., 3:]}
+            else:
+                stacked = np.stack(group)
+                yield {"input": stacked[..., :3],
+                       "target": stacked[..., 3:]}
+
+
+def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
+                              batch_size: int, *, load_size: int = 286,
+                              seed: int = 123, num_threads: int = 4,
+                              iters_per_launch: int = 1,
+                              augment: bool = True) -> PairedNativeLoader:
+    """Cache a paired dataset (items: (input, target, path) with NO
+    host-side augmentation) as 6-channel raw samples and stream augmented
+    u8 {'input','target'} batches from the C++ runtime.
+
+    crop_frac = image_size/load_size reproduces the pix2pix
+    resize(load_size) -> random-crop(crop_size) schedule on the cached
+    full-size pair.
+    """
+    cache, index = build_cache(RawPairView(dataset), Path(cache_dir),
+                               channels=6)
+    native = NativeDataLoader(
+        cache, index, image_size, batch_size, num_threads=num_threads,
+        seed=seed, channels=6, output_u8=True,
+        aug_mode=2 if augment else 0,
+        crop_frac=min(image_size / max(load_size, image_size), 1.0))
+    return PairedNativeLoader(native, len(dataset),
+                              iters_per_launch=iters_per_launch)
 
 
 def make_native_loader(dataset, cache_dir: Path, image_size: int,

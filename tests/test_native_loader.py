@@ -89,3 +89,32 @@ def test_batch_images_to_float_passthrough():
     assert float(out["bg"].min()) == -1.0
     assert (out["df"] == b["df"]).all()  # floats untouched
     assert out["df_labels"].dtype == jnp.float32
+
+
+def test_paired_native_loader_alignment_and_shapes(tmp_path):
+    """aug_mode=2: 6-channel cache, identical crop/flip for both halves by
+    construction, u8 {'input','target'} batches with iters_per_launch axis."""
+    pytest.importorskip("PIL")
+    from de_i2i_gan_tpu.data.paired import SyntheticPairedDataset
+    from de_i2i_gan_tpu.runtime.native_loader import (
+        make_paired_native_loader, native_available)
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    ds = SyntheticPairedDataset(image_size=64, length=16, seed=0)
+    ld = make_paired_native_loader(ds, tmp_path / "pairs", 48, 4,
+                                   load_size=64, seed=0, iters_per_launch=2)
+    b = next(iter(ld))
+    assert b["input"].shape == (2, 4, 48, 48, 3)
+    assert b["input"].dtype == np.uint8
+    assert b["target"].shape == (2, 4, 48, 48, 3)
+
+    # augment=False round-trips one source pair within u8 quantization
+    ld0 = make_paired_native_loader(ds, tmp_path / "pairs", 64, 2,
+                                    load_size=64, seed=0, augment=False)
+    b0 = next(iter(ld0))
+    a_ = b0["input"][0].astype(np.float32) / 127.5 - 1
+    t_ = b0["target"][0].astype(np.float32) / 127.5 - 1
+    err = min(
+        float(np.abs(a_ - ds[i][0]).mean() + np.abs(t_ - ds[i][1]).mean())
+        for i in range(len(ds)))
+    assert err < 0.02, err

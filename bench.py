@@ -238,11 +238,121 @@ def bench_infer(size: int, batch: int, on_tpu: bool, n_iters: int,
     }
 
 
+def bench_sgv2(norm_type: str, on_tpu: bool, n_iters: int, n_reps: int = 3):
+    """StarGAN v2 solver train_step throughput (BASELINE configs #1/#2; the
+    reference's only wall-clock datum is this workload on a V100)."""
+    from de_i2i_gan_tpu.train.solver import StarGANv2Config, StarGANv2Solver
+
+    size = 256 if on_tpu else 64
+    batch = 8 if on_tpu else 2
+    cfg = StarGANv2Config(
+        img_size=size, num_domains=3, w_hpf=0.0, norm_type=norm_type,
+        batch_size=batch,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        **({} if on_tpu else dict(hidden_nc=16, embed_nc=12, style_dim=8,
+                                  latent_dim=4, max_conv_dim=64)))
+    solver = StarGANv2Solver(cfg)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    b = {
+        "x_src": jax.random.uniform(k, (batch, size, size, 3),
+                                    minval=-1, maxval=1),
+        "y_src": jnp.arange(batch, dtype=jnp.int32) % 3,
+        "y_ref": (jnp.arange(batch, dtype=jnp.int32) + 1) % 3,
+        "x_ref": jax.random.uniform(jax.random.PRNGKey(2),
+                                    (batch, size, size, 3), minval=-1,
+                                    maxval=1),
+        "x_ref2": jax.random.uniform(jax.random.PRNGKey(3),
+                                     (batch, size, size, 3), minval=-1,
+                                     maxval=1),
+        "z_ref": jax.random.normal(jax.random.PRNGKey(4),
+                                   (batch, cfg.latent_dim)),
+        "z_ref2": jax.random.normal(jax.random.PRNGKey(5),
+                                    (batch, cfg.latent_dim)),
+        "z_src": jax.random.normal(jax.random.PRNGKey(6),
+                                   (batch, cfg.latent_dim)),
+    }
+    if norm_type == "sean":
+        for key_ in ("s_ref", "s_ref2", "s_src"):
+            b[key_] = jax.random.normal(jax.random.PRNGKey(hash(key_) % 97),
+                                        (batch, cfg.num_embeds, cfg.embed_nc))
+    step = jax.jit(solver.train_step, donate_argnums=0)
+    flops = _program_flops(solver.train_step, state, b, jax.random.PRNGKey(7))
+    times = _time_reps(step, state, b, n_iters, n_reps)
+    img_s = batch * n_iters / times.mean()
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "img_per_sec_std": round(float(
+            batch * n_iters * times.std() / times.mean() ** 2), 2),
+        "tflop_per_img": (round(flops / batch / 1e12, 4) if flops else None),
+        "flops_per_launch": flops,
+    }
+
+
+def bench_pix2pix_loader_fed(size: int, batch: int, ipl: int, on_tpu: bool,
+                             n_iters: int, preloaded_img_s: float):
+    """The north-star clause is 'the input pipeline never stalls the TPU':
+    measure the SAME pix2pix step fed by the C++ paired loader (u8 6-channel
+    cache, integer-crop+hflip augmentation) through device_prefetch, and
+    report the overlap gap vs the preloaded rate."""
+    import tempfile
+    from pathlib import Path
+
+    from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
+    from de_i2i_gan_tpu.data.paired import SyntheticPairedDataset
+    from de_i2i_gan_tpu.data.pipeline import device_prefetch
+    from de_i2i_gan_tpu.runtime.native_loader import (
+        make_paired_native_loader, native_available)
+    from de_i2i_gan_tpu.train.pix2pix_steps import Pix2PixSteps
+
+    if not native_available():
+        return None
+    load = int(size * 288 / 256)
+    cache_root = Path(tempfile.gettempdir()) / f"de_i2i_bench_pairs_{size}"
+    ds = SyntheticPairedDataset(image_size=load, length=128, seed=0)
+    loader = make_paired_native_loader(ds, cache_root, size, batch,
+                                       load_size=load, seed=0,
+                                       num_threads=4,
+                                       iters_per_launch=ipl)
+
+    cfg = DefectGanConfig(
+        image_size=size, cycle_gan=True,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
+    tcfg = TrainConfig(batch_size=batch, lr=(2e-4,), ema_decay=0.999)
+    steps = Pix2PixSteps(cfg, tcfg, num_d_scales=2, iters_per_epoch=1000,
+                         num_epochs=200)
+    state = steps.init_state(jax.random.PRNGKey(0))
+    step = steps.jit_super_step
+
+    def infinite():
+        while True:
+            yield from iter(loader)
+
+    it = device_prefetch(infinite(), depth=3)
+    state, metrics = step(state, next(it), jax.random.PRNGKey(2))
+    float(next(iter(metrics.values())))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, metrics = step(state, next(it), jax.random.PRNGKey(3 + i))
+    float(next(iter(metrics.values())))
+    img_s = ipl * batch * n_iters / (time.perf_counter() - t0)
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "overlap_gap": round(1 - img_s / preloaded_img_s, 4),
+    }
+
+
 def _mfu(entry, peak):
     if not entry.get("tflop_per_img") or not peak:
         return None
     return round(entry["tflop_per_img"] * 1e12 * entry["img_per_sec"] / peak,
                  4)
+
+
+def _mark(tag):
+    import sys
+    print(f"[bench] {tag} done", file=sys.stderr, flush=True)
 
 
 def main():
@@ -254,11 +364,24 @@ def main():
         # ipl=4 matches the trainer's --iters_per_launch default (the scan
         # amortizes per-launch overhead; benchmarks/batch_scaling.json)
         p2p = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4)
+        _mark("pix2pix_256")
         p2p_fp = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4,
                                fused_prop=True)
+        _mark("pix2pix_256_fusedprop")
         p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
+        _mark("pix2pix_512")
         dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)
+        _mark("defectgan_256")
         inf = bench_infer(1024, 4, on_tpu=True, n_iters=6)
+        _mark("infer_1024")
+        sgv2_adain = bench_sgv2("adain", on_tpu=True, n_iters=8)
+        _mark("sgv2_adain")
+        sgv2_sean = bench_sgv2("sean", on_tpu=True, n_iters=8)
+        _mark("sgv2_sean")
+        p2p_fed = bench_pix2pix_loader_fed(
+            256, 8, ipl=4, on_tpu=True, n_iters=6,
+            preloaded_img_s=p2p["img_per_sec"])
+        _mark("pix2pix_loader_fed")
     else:  # CPU smoke path (tiny shapes, structure identical)
         p2p = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2, n_reps=2)
         p2p_hd = bench_pix2pix(64, 1, ipl=1, on_tpu=False, n_iters=2,
@@ -267,8 +390,13 @@ def main():
         p2p_fp = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2,
                                n_reps=2, fused_prop=True)
         inf = bench_infer(64, 2, on_tpu=False, n_iters=2, n_reps=2)
+        sgv2_adain = bench_sgv2("adain", on_tpu=False, n_iters=2, n_reps=2)
+        sgv2_sean = bench_sgv2("sean", on_tpu=False, n_iters=2, n_reps=2)
+        p2p_fed = bench_pix2pix_loader_fed(
+            64, 2, ipl=2, on_tpu=False, n_iters=2,
+            preloaded_img_s=p2p["img_per_sec"])
 
-    for e in (p2p, p2p_fp, p2p_hd, dg, inf):
+    for e in (p2p, p2p_fp, p2p_hd, dg, inf, sgv2_adain, sgv2_sean):
         e["mfu"] = _mfu(e, peak)
         e.pop("flops_per_launch", None)
 
@@ -298,6 +426,15 @@ def main():
                 "vs_sgv2_v100": round(dg["img_per_sec"] / REF_SGV2_V100, 2),
             },
             "generator_infer_1024": inf,
+            # loader-fed: same step, C++ paired loader + device_prefetch.
+            # overlap_gap = 1 - fed/preloaded ("never stalls" => ~0)
+            "pix2pix_256_loader_fed": p2p_fed,
+            "starganv2_256_adain": {
+                **sgv2_adain,
+                "vs_sgv2_v100": round(
+                    sgv2_adain["img_per_sec"] / REF_SGV2_V100, 2),
+            },
+            "starganv2_256_sean": sgv2_sean,
             "baselines": {
                 "ref_p2p_a100_img_s": REF_P2P_A100,
                 "ref_sgv2_v100_img_s": REF_SGV2_V100,

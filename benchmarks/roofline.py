@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--workload", type=str, default="pix2pix",
-                    help="[pix2pix|defectgan]")
+                    help="[pix2pix|defectgan|infer|sgv2_adain|sgv2_sean]")
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args()
     if args.out is None:
@@ -55,6 +55,55 @@ def main():
                                                minval=-1, maxval=1),
                    "target": jax.random.uniform(k, (batch, size, size, 3),
                                                 minval=-1, maxval=1)}
+    elif args.workload == "infer":
+        # generator-only inference (bench's generator_infer_1024, MFU 0.126)
+        from de_i2i_gan_tpu.models.generator import DefectGanGenerator
+        cfg = DefectGanConfig(image_size=size, compute_dtype="bfloat16")
+        gen = DefectGanGenerator(cfg)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (batch, size, size, 3), minval=-1,
+                               maxval=1)
+        labels = jnp.zeros((batch, cfg.label_nc)).at[:, 1].set(1.0)
+        variables = gen.init({"params": rng, "noise": rng, "latent": rng},
+                             x, labels, train=False)
+
+        def infer_fn(variables, x, labels):
+            out, _ = gen.apply(variables, x, labels, train=False,
+                               rngs={"noise": jax.random.PRNGKey(0)})
+            return out, {"m": jnp.mean(out)}
+
+        state, batch_t = variables, {"x": x, "labels": labels}
+        steps = None
+    elif args.workload.startswith("sgv2"):
+        from de_i2i_gan_tpu.train.solver import (StarGANv2Config,
+                                                 StarGANv2Solver)
+        cfg = StarGANv2Config(img_size=size, num_domains=3, w_hpf=0.0,
+                              norm_type=args.workload.split("_")[1],
+                              batch_size=batch, compute_dtype="bfloat16")
+        steps = StarGANv2Solver(cfg)
+        batch_t = {
+            "x_src": jax.random.uniform(k, (batch, size, size, 3),
+                                        minval=-1, maxval=1),
+            "y_src": jnp.arange(batch, dtype=jnp.int32) % 3,
+            "y_ref": (jnp.arange(batch, dtype=jnp.int32) + 1) % 3,
+            "x_ref": jax.random.uniform(jax.random.PRNGKey(2),
+                                        (batch, size, size, 3), minval=-1,
+                                        maxval=1),
+            "x_ref2": jax.random.uniform(jax.random.PRNGKey(3),
+                                         (batch, size, size, 3), minval=-1,
+                                         maxval=1),
+            "z_ref": jax.random.normal(jax.random.PRNGKey(4),
+                                       (batch, cfg.latent_dim)),
+            "z_ref2": jax.random.normal(jax.random.PRNGKey(5),
+                                        (batch, cfg.latent_dim)),
+            "z_src": jax.random.normal(jax.random.PRNGKey(6),
+                                       (batch, cfg.latent_dim)),
+        }
+        if cfg.norm_type == "sean":
+            for i, key_ in enumerate(("s_ref", "s_ref2", "s_src")):
+                batch_t[key_] = jax.random.normal(
+                    jax.random.PRNGKey(7 + i),
+                    (batch, cfg.num_embeds, cfg.embed_nc))
     else:
         from de_i2i_gan_tpu.train.steps import DefectGanSteps
         cfg = DefectGanConfig(image_size=size, compute_dtype="bfloat16",
@@ -69,11 +118,21 @@ def main():
                                             minval=-1, maxval=1),
                    "df_labels": jnp.tile(jnp.eye(cfg.label_nc)[1][None, None],
                                          (nc, batch, 1))}
-    state = steps.init_state(jax.random.PRNGKey(0))
 
-    step_fn = steps.train_step if args.workload == "pix2pix" else \
-        steps.super_step
-    fn = jax.jit(step_fn, donate_argnums=0)
+    if args.workload == "infer":
+        def step_fn(state, b, rng):
+            return state, infer_fn(state, b["x"], b["labels"])[1]
+        donate = ()
+    else:
+        state = steps.init_state(jax.random.PRNGKey(0))
+        if args.workload == "pix2pix":
+            step_fn = steps.train_step
+        elif args.workload.startswith("sgv2"):
+            step_fn = steps.train_step
+        else:
+            step_fn = steps.super_step
+        donate = (0,)
+    fn = jax.jit(step_fn, donate_argnums=donate)
     lowered = fn.lower(state, batch_t, jax.random.PRNGKey(2))
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
@@ -95,8 +154,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
 
     bytes_acc = float(byte_keys.get("bytes accessed", 0))
-    imgs = batch * (1 if args.workload == "pix2pix"
-                    else tcfg.num_critics)
+    imgs = batch * (5 if args.workload == "defectgan" else 1)
     out = {
         "device": f"{dev.platform}:{dev.device_kind}",
         "workload": args.workload,

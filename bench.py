@@ -34,6 +34,11 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: the suite spans 8 distinct programs whose
+# fresh compiles dominate wall-clock on a 1-core host; must be set via
+# jax.config (env vars after import are ignored on this image).
+jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
 import jax.numpy as jnp
 import numpy as np
 

@@ -72,6 +72,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache (must be set via jax.config; env is ignored)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
     import jax.numpy as jnp
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.data.datasets import _FileDataset

@@ -173,6 +173,15 @@ def main():
                                                         819e9), 4),
         "byte_keys": {k_: float(v) for k_, v in byte_keys.items()},
     }
+    # keep a hand-written "note" (e.g. a cap argument or optimization-attempt
+    # record) across regenerations
+    if args.out.exists():
+        try:
+            prev = json.loads(args.out.read_text())
+            if "note" in prev:
+                out["note"] = prev["note"]
+        except (ValueError, OSError):
+            pass
     args.out.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out, indent=2))
 

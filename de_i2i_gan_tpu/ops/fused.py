@@ -62,6 +62,17 @@ def images_to_float(x: jax.Array) -> jax.Array:
 
 
 def batch_images_to_float(batch):
-    """Apply images_to_float to the image entries of a step batch dict."""
-    return {k: (images_to_float(v) if k in IMAGE_KEYS else v)
-            for k, v in batch.items()}
+    """Apply images_to_float to the image entries of a step batch dict.
+
+    A 6-channel ``pair`` entry (native paired loader: input+target stacked
+    channel-wise so the host ships ONE contiguous u8 buffer per launch) is
+    split into ``input``/``target`` here, on device, where the channel
+    slice fuses into the consumers for free.
+    """
+    out = {k: (images_to_float(v) if k in IMAGE_KEYS else v)
+           for k, v in batch.items() if k != "pair"}
+    if "pair" in batch:
+        pair = images_to_float(batch["pair"])
+        out["input"] = pair[..., :3]
+        out["target"] = pair[..., 3:]
+    return out

@@ -178,6 +178,25 @@ class NativeDataLoader:
             raise StopIteration
         return self._img_buf.copy(), self._lbl_buf.copy(), []
 
+    def next_into(self, img_out: np.ndarray, lbl_out: np.ndarray) -> None:
+        """Fill caller-provided C-contiguous buffers directly — the C++
+        workers write the batch in place, with no intermediate host copy
+        (the hot path for the paired u8 stream on a 1-core host)."""
+        assert img_out.flags.c_contiguous and lbl_out.flags.c_contiguous
+        assert img_out.dtype == self._img_buf.dtype
+        if self.output_u8:
+            rc = self._lib.dl_next_u8(
+                self._handle,
+                img_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lbl_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        else:
+            rc = self._lib.dl_next(
+                self._handle,
+                img_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lbl_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise StopIteration
+
     def close(self):
         if self._handle:
             self._lib.dl_destroy(self._handle)
@@ -228,15 +247,22 @@ class RawPairView:
 
 
 class PairedNativeLoader:
-    """{'input','target'} u8 batches from the C++ runtime (aug_mode=2), with
-    an optional leading (iters_per_launch,) axis for the scan super-step —
-    the native counterpart of data.paired.PairedLoader."""
+    """Paired u8 batches from the C++ runtime (aug_mode=2), with an optional
+    leading (iters_per_launch,) axis for the scan super-step — the native
+    counterpart of data.paired.PairedLoader.
+
+    Default (``split_on_host=False``): yields ``{'pair': u8[..., 6]}`` —
+    the C++ workers fill one freshly-allocated contiguous buffer in place
+    (no host copies, one H2D transfer); the jitted steps split input/target
+    on device (ops.fused.batch_images_to_float). ``split_on_host=True``
+    restores ``{'input','target'}`` for consumers without that hook."""
 
     def __init__(self, loader: NativeDataLoader, n_pairs: int,
-                 iters_per_launch: int = 1):
+                 iters_per_launch: int = 1, split_on_host: bool = False):
         assert loader.channels == 6, "paired cache must be 6-channel"
         self.loader = loader
         self.iters_per_launch = iters_per_launch
+        self.split_on_host = split_on_host
         self.batch_size = loader.batch_size
         self._n = max(1, n_pairs // loader.batch_size
                       // max(iters_per_launch, 1))
@@ -246,25 +272,31 @@ class PairedNativeLoader:
 
     def __iter__(self) -> Iterator:
         ipl = max(self.iters_per_launch, 1)
+        ld = self.loader
+        s = ld.image_size
+        lbl = np.empty((ld.batch_size, ld.label_nc), np.float32)
         for _ in range(self._n):
-            group = []
-            for _ in range(ipl):
-                imgs, _, _ = next(self.loader)
-                group.append(imgs)
-            if ipl == 1:
-                yield {"input": group[0][..., :3],
-                       "target": group[0][..., 3:]}
+            # fresh buffer per launch: device_put is async, so the array
+            # handed over must not be reused until the transfer completes
+            group = np.empty((ipl, ld.batch_size, s, s, 6),
+                             ld._img_buf.dtype)
+            for j in range(ipl):
+                ld.next_into(group[j], lbl)
+            out = group[0] if ipl == 1 else group
+            if self.split_on_host:
+                yield {"input": np.ascontiguousarray(out[..., :3]),
+                       "target": np.ascontiguousarray(out[..., 3:])}
             else:
-                stacked = np.stack(group)
-                yield {"input": stacked[..., :3],
-                       "target": stacked[..., 3:]}
+                yield {"pair": out}
 
 
 def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
                               batch_size: int, *, load_size: int = 286,
                               seed: int = 123, num_threads: int = 4,
                               iters_per_launch: int = 1,
-                              augment: bool = True) -> PairedNativeLoader:
+                              augment: bool = True,
+                              split_on_host: bool = False
+                              ) -> PairedNativeLoader:
     """Cache a paired dataset (items: (input, target, path) with NO
     host-side augmentation) as 6-channel raw samples and stream augmented
     u8 {'input','target'} batches from the C++ runtime.
@@ -281,7 +313,8 @@ def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
         aug_mode=2 if augment else 0,
         crop_frac=min(image_size / max(load_size, image_size), 1.0))
     return PairedNativeLoader(native, len(dataset),
-                              iters_per_launch=iters_per_launch)
+                              iters_per_launch=iters_per_launch,
+                              split_on_host=split_on_host)
 
 
 def make_native_loader(dataset, cache_dir: Path, image_size: int,

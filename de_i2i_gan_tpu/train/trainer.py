@@ -416,6 +416,10 @@ class Pix2PixTrainer:
                         lambda x: _host_images_to_float(
                             np.asarray(x[0] if ipl > 1 else x)[:4]),
                         batch)
+                    if "pair" in vis_batch:  # native loader's stacked form
+                        p = vis_batch.pop("pair")
+                        vis_batch["input"], vis_batch["target"] = \
+                            p[..., :3], p[..., 3:]
                 self._rng, key = jax.random.split(self._rng)
                 new_state, metrics = step_fn(self.state, batch, key)
                 self._pending.append(metrics)

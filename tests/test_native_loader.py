@@ -93,9 +93,12 @@ def test_batch_images_to_float_passthrough():
 
 def test_paired_native_loader_alignment_and_shapes(tmp_path):
     """aug_mode=2: 6-channel cache, identical crop/flip for both halves by
-    construction, u8 {'input','target'} batches with iters_per_launch axis."""
+    construction. Default yields one contiguous u8 {'pair'} buffer per
+    launch (split on device by ops.fused.batch_images_to_float);
+    split_on_host=True restores {'input','target'}."""
     pytest.importorskip("PIL")
     from de_i2i_gan_tpu.data.paired import SyntheticPairedDataset
+    from de_i2i_gan_tpu.ops.fused import batch_images_to_float
     from de_i2i_gan_tpu.runtime.native_loader import (
         make_paired_native_loader, native_available)
     if not native_available():
@@ -104,16 +107,29 @@ def test_paired_native_loader_alignment_and_shapes(tmp_path):
     ld = make_paired_native_loader(ds, tmp_path / "pairs", 48, 4,
                                    load_size=64, seed=0, iters_per_launch=2)
     b = next(iter(ld))
-    assert b["input"].shape == (2, 4, 48, 48, 3)
-    assert b["input"].dtype == np.uint8
-    assert b["target"].shape == (2, 4, 48, 48, 3)
+    assert b["pair"].shape == (2, 4, 48, 48, 6)
+    assert b["pair"].dtype == np.uint8
+    assert b["pair"].flags.c_contiguous
+    # the device-side split restores the step's {'input','target'} view
+    fb = batch_images_to_float(b)
+    assert fb["input"].shape == (2, 4, 48, 48, 3)
+    assert fb["target"].shape == (2, 4, 48, 48, 3)
+    assert float(fb["input"].max()) <= 1.0 + 1e-6
+
+    # host-split mode matches the device split exactly
+    ld_h = make_paired_native_loader(ds, tmp_path / "pairs", 48, 4,
+                                     load_size=64, seed=0,
+                                     iters_per_launch=2, split_on_host=True)
+    bh = next(iter(ld_h))
+    assert bh["input"].shape == (2, 4, 48, 48, 3)
+    assert bh["input"].dtype == np.uint8
 
     # augment=False round-trips one source pair within u8 quantization
     ld0 = make_paired_native_loader(ds, tmp_path / "pairs", 64, 2,
                                     load_size=64, seed=0, augment=False)
-    b0 = next(iter(ld0))
-    a_ = b0["input"][0].astype(np.float32) / 127.5 - 1
-    t_ = b0["target"][0].astype(np.float32) / 127.5 - 1
+    b0 = next(iter(ld0))["pair"]
+    a_ = b0[..., :3][0].astype(np.float32) / 127.5 - 1
+    t_ = b0[..., 3:][0].astype(np.float32) / 127.5 - 1
     err = min(
         float(np.abs(a_ - ds[i][0]).mean() + np.abs(t_ - ds[i][1]).mean())
         for i in range(len(ds)))

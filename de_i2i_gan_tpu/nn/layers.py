@@ -66,6 +66,13 @@ def _pad_axis(x: jax.Array, axis: int, lo: int, hi: int,
     a plain copy.
     """
     n = x.shape[axis]
+    if mode == "reflect" and max(lo, hi) >= n:
+        # pad wider than the axis (tiny feature maps, e.g. a 64^2 model's
+        # deepest D scale): jnp.pad's repeated-reflection semantics; the
+        # slice+flip fast path only matters at real resolutions
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (lo, hi)
+        return jnp.pad(x, cfg, mode="reflect")
     parts = []
     if lo:
         if mode == "reflect":

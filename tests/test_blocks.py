@@ -37,6 +37,18 @@ def test_conv_reflect_same_shape():
     assert y.shape == (2, 32, 32, 16)
 
 
+def test_pad_image_matches_jnp_pad_small_axes():
+    """Pad wider than the axis (tiny deep-layer feature maps at 64^2) must
+    keep jnp.pad's repeated-reflection semantics, not assert (regression:
+    the slice+flip fast path broke size-64 sweep training)."""
+    import numpy as np
+    for h, w, p in [(1, 1, 1), (2, 3, 3), (2, 2, 1), (4, 2, 3)]:
+        x = jnp.arange(2 * h * w * 3, dtype=jnp.float32).reshape(2, h, w, 3)
+        got = pad_image(x, ((p, p), (p, p)), "reflect")
+        want = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        np.testing.assert_allclose(got, want)
+
+
 def test_conv_stride2_pad1():
     m = Conv2d(8, (4, 4), (2, 2), 1, "reflect")
     x = jnp.ones((2, 32, 32, 3))

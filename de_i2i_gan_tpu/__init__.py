@@ -23,3 +23,25 @@ Reference layout map (file:line cites in docstrings point into /root/reference):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a stable on-disk path.
+
+    Every CLI entry point calls this: without it each subprocess of a
+    multi-run workflow (cli/sweep.py's 18 train/test invocations, resumed
+    trainings, eval jobs) pays the full XLA compile again — tens of minutes
+    per program over a remote-compile TPU backend. Must be set via
+    jax.config (env vars set after `import jax` are ignored).
+
+    Override the location with DE_I2I_JAX_CACHE; set it empty to disable.
+    """
+    import os
+
+    path = path or os.environ.get("DE_I2I_JAX_CACHE",
+                                  "/tmp/de_i2i_jax_cache")
+    if not path:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)

@@ -43,6 +43,8 @@ def _folder_loader(path: Path, image_size: int, batch_size: int):
 
 
 def main(argv=None):
+    from de_i2i_gan_tpu import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("paths", nargs="*", type=Path)
     p.add_argument("--dims", type=int, default=2048)

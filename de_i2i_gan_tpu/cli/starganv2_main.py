@@ -161,6 +161,9 @@ def _make_train_fetcher(args, img_dir, tf, solver=None):
 
 def main(argv=None):
     import jax
+
+    from de_i2i_gan_tpu import enable_compile_cache
+    enable_compile_cache()
     from de_i2i_gan_tpu.data.starganv2_data import (
         BalancedLoader, ImageFolderDataset, InputFetcher, ReferenceDataset,
         make_reference_loader)

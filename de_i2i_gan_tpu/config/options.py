@@ -264,6 +264,11 @@ class Options:
 
     # -- reference gather_options flow (base_options.py:58-102)
     def parse(self, argv=None, save: bool = True) -> argparse.Namespace:
+        # every CLI parses options before touching jax: single hook for the
+        # persistent XLA compile cache (multi-run workflows like cli/sweep.py
+        # would otherwise recompile every program per subprocess)
+        from de_i2i_gan_tpu import enable_compile_cache
+        enable_compile_cache()
         opt, _ = self.parser.parse_known_args(argv)
         if opt.name == self.parser.get_default("name"):
             idx = 0

@@ -62,24 +62,22 @@ def main(argv=None):
 
     if opt.native_loader:
         from de_i2i_gan_tpu.runtime.native_loader import (
-            make_native_loader, native_available)
+            make_native_dual_stream, native_available)
         assert native_available(), "--native_loader needs a C++ toolchain"
-        # cache the UNtransformed images; the C++ side owns crop/flip
+        # cache the UNtransformed images; the C++ side owns crop/flip and
+        # fills contiguous u8 super-batches in place (no host np.stack)
         raw, _ = build_datasets(opt, "train", None)
         root = opt.native_cache_dir or (
             opt.ckpt_dir / "native_cache" / opt.name)
-        df_loader = make_native_loader(raw["defects"], root / "defects",
-                                       opt.image_size, opt.batch_size,
-                                       seed=opt.seed)
-        bg_loader = make_native_loader(raw["background"], root / "background",
-                                       opt.image_size, opt.batch_size,
-                                       seed=opt.seed + 1)
+        loader = make_native_dual_stream(
+            raw["defects"], raw["background"], root, opt.image_size,
+            opt.batch_size, tcfg.num_critics, seed=opt.seed)
     else:
         df_loader = DataLoader(datasets["defects"], opt.batch_size,
                                seed=opt.seed)
         bg_loader = DataLoader(datasets["background"], opt.batch_size,
                                seed=opt.seed + 1)
-    loader = DualStreamLoader(df_loader, bg_loader, tcfg.num_critics)
+        loader = DualStreamLoader(df_loader, bg_loader, tcfg.num_critics)
     print(f"{len(datasets['defects'])} defect / "
           f"{len(datasets['background'])} background train images")
 
@@ -103,7 +101,8 @@ def main(argv=None):
     trainer = DefectGanTrainer(
         cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
         mesh=mesh,
-        iters_per_epoch=len(df_loader), num_epochs=opt.num_epochs,
+        iters_per_epoch=len(loader) * tcfg.num_critics,
+        num_epochs=opt.num_epochs,
         continue_training=opt.continue_training,
         load_model_name=opt.load_model_name, which_epoch=opt.which_epoch,
         save_latest_freq=opt.save_latest_freq,

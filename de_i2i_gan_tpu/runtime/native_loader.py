@@ -228,6 +228,46 @@ class EpochView:
             yield next(self.loader)
 
 
+class NativeDualStreamLoader:
+    """Defects + background super-batches straight from the C++ runtime —
+    the native counterpart of data.pipeline.DualStreamLoader (reference
+    schedule: one defect batch per D sub-step, defectgan_trainer.py:96-109).
+
+    The workers fill contiguous (num_critics, B, S, S, 3) buffers in place
+    (next_into row by row) — no np.stack and no per-batch host memcpy, which
+    on a 1-core host compete with step dispatch (the same fix that took the
+    paired pix2pix feed to zero overlap gap)."""
+
+    def __init__(self, df: NativeDataLoader, bg: NativeDataLoader,
+                 num_critics: int):
+        assert df.output_u8 and bg.output_u8, \
+            "super-batch fast path is u8-only (ships 1/4 the H2D bytes)"
+        self.df, self.bg = df, bg
+        self.num_critics = num_critics
+        self.batch_size = df.batch_size
+
+    def __len__(self):
+        return max(1, self.df.n_items // self.batch_size // self.num_critics)
+
+    def __iter__(self) -> Iterator:
+        nc, b, s = self.num_critics, self.batch_size, self.df.image_size
+        bg_lbl = np.empty((b, self.bg.label_nc), np.float32)
+        for _ in range(len(self)):
+            # fresh buffers per launch: device_put is async, the arrays
+            # must not be reused until the transfer completes
+            dfs = np.empty((nc, b, s, s, 3), np.uint8)
+            bgs = np.empty((nc, b, s, s, 3), np.uint8)
+            lbls = np.empty((nc, b, self.df.label_nc), np.float32)
+            for j in range(nc):
+                self.df.next_into(dfs[j], lbls[j])
+                self.bg.next_into(bgs[j], bg_lbl)
+            yield {"df": dfs, "bg": bgs, "df_labels": lbls}
+
+    def close(self):
+        self.df.close()
+        self.bg.close()
+
+
 class RawPairView:
     """(input, target, path) paired dataset -> (H, W, 6) channel-stacked raw
     samples for the native cache, so the C++ side's crop window and flip
@@ -315,6 +355,26 @@ def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
     return PairedNativeLoader(native, len(dataset),
                               iters_per_launch=iters_per_launch,
                               split_on_host=split_on_host)
+
+
+def make_native_dual_stream(df_dataset, bg_dataset, cache_root: Path,
+                            image_size: int, batch_size: int,
+                            num_critics: int, seed: int = 123,
+                            num_threads: int = 4
+                            ) -> NativeDualStreamLoader:
+    """Cache both streams and return the in-place super-batch loader (the
+    --native_loader DefectGAN feed)."""
+    df_cache, df_index = build_cache(df_dataset, Path(cache_root) / "defects",
+                                     max_side=image_size * 2)
+    bg_cache, bg_index = build_cache(bg_dataset,
+                                     Path(cache_root) / "background",
+                                     max_side=image_size * 2)
+    df = NativeDataLoader(df_cache, df_index, image_size, batch_size,
+                          num_threads=num_threads, seed=seed, output_u8=True)
+    bg = NativeDataLoader(bg_cache, bg_index, image_size, batch_size,
+                          num_threads=num_threads, seed=seed + 1,
+                          output_u8=True)
+    return NativeDualStreamLoader(df, bg, num_critics)
 
 
 def make_native_loader(dataset, cache_dir: Path, image_size: int,

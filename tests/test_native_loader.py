@@ -134,3 +134,29 @@ def test_paired_native_loader_alignment_and_shapes(tmp_path):
         float(np.abs(a_ - ds[i][0]).mean() + np.abs(t_ - ds[i][1]).mean())
         for i in range(len(ds)))
     assert err < 0.02, err
+
+
+def test_native_dual_stream_super_batches(tmp_path):
+    """NativeDualStreamLoader fills contiguous (nc,B,S,S,3) u8 super-batches
+    in place — shape/dtype contract of the --native_loader DefectGAN feed
+    (data.pipeline.DualStreamLoader equivalent, no host np.stack)."""
+    from de_i2i_gan_tpu.runtime.native_loader import make_native_dual_stream
+
+    df = SyntheticDefectDataset(image_size=48, label_nc=6, length=20)
+    bg = SyntheticDefectDataset(image_size=48, label_nc=6, length=12,
+                                data_type="background")
+    loader = make_native_dual_stream(df, bg, tmp_path, image_size=32,
+                                     batch_size=2, num_critics=3, seed=0,
+                                     num_threads=1)
+    assert len(loader) == 20 // 2 // 3
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert set(b) == {"df", "bg", "df_labels"}
+    assert b["df"].shape == (3, 2, 32, 32, 3) and b["df"].dtype == np.uint8
+    assert b["bg"].shape == (3, 2, 32, 32, 3) and b["bg"].dtype == np.uint8
+    assert b["df_labels"].shape == (3, 2, 6)
+    assert (b["df_labels"].sum(axis=-1) >= 1).all()
+    # rows are distinct augmented samples, and launches reuse no buffer
+    assert not np.array_equal(b["df"][0], b["df"][1])
+    assert b["df"].ctypes.data != batches[1]["df"].ctypes.data

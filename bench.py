@@ -342,9 +342,21 @@ def bench_pix2pix_loader_fed(size: int, batch: int, ipl: int, on_tpu: bool,
         state, metrics = step(state, next(it), jax.random.PRNGKey(3 + i))
     float(next(iter(metrics.values())))
     img_s = ipl * batch * n_iters / (time.perf_counter() - t0)
+    # steady state: a second, longer window after the prefetch queue and the
+    # C++ loaders' decoded backlog have drained (short windows can ride them
+    # to a flattering ~zero gap; see benchmarks/input_pipeline.json note)
+    n_steady = 2 * n_iters
+    t0 = time.perf_counter()
+    for i in range(n_steady):
+        state, metrics = step(state, next(it),
+                              jax.random.PRNGKey(101 + i))
+    float(next(iter(metrics.values())))
+    steady = ipl * batch * n_steady / (time.perf_counter() - t0)
     return {
         "img_per_sec": round(float(img_s), 2),
         "overlap_gap": round(1 - img_s / preloaded_img_s, 4),
+        "img_per_sec_steady": round(float(steady), 2),
+        "overlap_gap_steady": round(1 - steady / preloaded_img_s, 4),
     }
 
 

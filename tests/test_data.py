@@ -52,3 +52,72 @@ def test_registry():
     assert find_dataset_using_name("synthetic") is SyntheticDefectDataset
     assert find_dataset_using_name("codebrim").clf_loss_type == "bce"
     assert find_dataset_using_name("mvtec").clf_loss_type == "cce"
+
+
+def test_device_prefetch_order_and_producer_exit():
+    """device_prefetch must deliver batches in order, and the producer
+    thread must exit when the consumer abandons the generator early
+    (regression: an abandoned producer used to block forever on a full
+    queue, pinning the underlying loader's threads — ADVICE round 2)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from de_i2i_gan_tpu.data.pipeline import device_prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2, 2), i, np.float32)}
+
+    before = threading.active_count()
+    it = device_prefetch(gen(), depth=2)
+    got = [int(np.asarray(next(it)["x"])[0, 0]) for _ in range(5)]
+    assert got == [0, 1, 2, 3, 4]
+    it.close()  # consumer walks away mid-stream
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert len(produced) < 100, "producer should stop early, not drain all"
+
+
+def test_device_prefetch_propagates_loader_errors():
+    from de_i2i_gan_tpu.data.pipeline import device_prefetch
+
+    def bad():
+        yield {"x": 1.0}
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(bad(), depth=2)
+    next(it)
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "decode failed" in str(e)
+
+
+def test_enable_compile_cache_sets_jax_config(tmp_path, monkeypatch):
+    """The CLI hook points jax at a persistent compile cache (without it
+    every subprocess of cli/sweep.py recompiles each program)."""
+    import jax
+
+    from de_i2i_gan_tpu import enable_compile_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("DE_I2I_JAX_CACHE", str(tmp_path / "cc"))
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        enable_compile_cache("/tmp/explicit_wins")
+        assert jax.config.jax_compilation_cache_dir == "/tmp/explicit_wins"
+        monkeypatch.setenv("DE_I2I_JAX_CACHE", "")
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        enable_compile_cache()  # empty env -> disabled, leaves config alone
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

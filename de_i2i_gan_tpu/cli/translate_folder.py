@@ -61,15 +61,19 @@ def main(argv=None):
 
     n_dev = opt.num_devices or len(jax.devices())
     variables = {"params": state.G.params, **state.G.state}
+    batch_size = max(1, opt.batch_size)
     if known.spatial > 1 and n_dev >= known.spatial:
         mesh = make_mesh(n_dev, spatial=known.spatial)
+        # the batch axis shards over 'data': round the launch batch up to a
+        # multiple of it (the tail-padding below already fills extra rows)
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
         fwd = spatial_sharded_inference(apply_fn, mesh)
         variables = jax.device_put(variables, replicate(mesh))
     else:
         fwd = jax.jit(apply_fn)
 
     from PIL import Image
-    batch_size = max(1, opt.batch_size)
     labels_row = np.zeros(cfg.label_nc, np.float32)
     labels_row[known.target_label] = 1.0
     done = 0

@@ -51,3 +51,18 @@ def test_starganv2_cli_train_then_sample(tmp_path):
     assert pngs, "sample mode wrote no grids"
     arr = np.asarray(Image.open(pngs[0]))
     assert arr.ndim == 3 and arr.shape[-1] == 3
+
+    # eval mode: per-task FID/LPIPS harness (metrics/eval_starganv2.py; the
+    # Inception/LPIPS nets are randomly initialized — numbers are not
+    # meaningful, the streamed pipeline and the results json contract are)
+    eval_dir = tmp_path / "eval"
+    main(["--mode", "eval", "--train_img_dir", str(train_dir),
+          "--val_img_dir", str(val_dir), "--checkpoint_dir", str(ckpt),
+          "--eval_dir", str(eval_dir), "--resume_iter", "3",
+          "--num_outs_per_domain", "2"] + TINY)
+    jsons = list(eval_dir.rglob("*.json"))
+    assert jsons, "eval mode wrote no results json"
+    import json as _json
+    res = _json.loads(jsons[0].read_text())
+    vals = [v for v in res.values() if isinstance(v, (int, float))]
+    assert vals and all(np.isfinite(v) for v in vals)

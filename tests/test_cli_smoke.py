@@ -41,3 +41,69 @@ def test_mtvec_alias_clis_forward(tmp_path):
     # alias modules delegate to the real mains; just check the wiring
     assert callable(train_mtvec.main)
     assert callable(pretrain_mtvec.main)
+
+
+def test_train_mtvec_cli_on_disk_layout(tmp_path):
+    """train_mtvec re-wires the DefectGAN trainer onto the MVTec on-disk
+    layout (data/mtvec/<category>/<phase>/{normal,<defect>}/*.png) — also
+    the only end-to-end exercise of MTVecDataset file loading."""
+    import pytest
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from de_i2i_gan_tpu.cli.train_mtvec import main
+
+    rng = np.random.default_rng(5)
+    for lbl in ("normal", "scratch"):
+        d = tmp_path / "data" / "mtvec" / "pill" / "train" / lbl
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (48, 48, 3),
+                                         dtype=np.uint8).astype(np.uint8)
+                            ).save(d / f"{i}.png")
+    main(["--name", "mt", "--ckpt_dir", str(tmp_path / "ckpt"),
+          "--data_dir", str(tmp_path / "data"),
+          "--dataset_data_type", "pill", "--label_nc", "2",
+          "--image_size", "32", "--batch_size", "2", "--num_epochs", "1",
+          "--num_critics", "2", "--ngf", "8", "--ndf", "8",
+          "--num_scales", "2", "--num_res", "2", "--hidden_nc", "16",
+          "--num_layers", "2", "--save_img_freq", "1000"])
+    assert (tmp_path / "ckpt" / "mt" / "latest_state.msgpack").exists()
+
+
+def test_train_mae_then_test_mae_cli(tmp_path):
+    """MAE pretrain -> test_mae eval from the saved checkpoint (reference
+    test_mae.py: val losses + repair grids)."""
+    from de_i2i_gan_tpu.cli.test_mae import main as test_main
+    from de_i2i_gan_tpu.cli.train_mae import main as train_main
+
+    tiny = ["--ckpt_dir", str(tmp_path), "--dataset_name", "synthetic",
+            "--image_size", "32", "--batch_size", "8",
+            "--ngf", "8", "--ndf", "8", "--num_scales", "2",
+            "--num_res", "2", "--hidden_nc", "16", "--num_layers", "2"]
+    train_main(["--name", "mae", "--num_epochs", "1",
+                "--save_img_freq", "1000"] + tiny)
+    assert (tmp_path / "mae" / "latest_state.msgpack").exists()
+    test_main(["--name", "mae", "--results_dir", str(tmp_path / "res")]
+              + tiny)
+
+
+def test_fid_cli_two_folders(tmp_path):
+    """Folder-vs-folder FID (cli/fid.py, the pytorch-fid surface): random
+    Inception weights make the value meaningless but it must be finite,
+    and identical folders must give ~0."""
+    import pytest
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from de_i2i_gan_tpu.cli.fid import main
+
+    rng = np.random.default_rng(9)
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for i in range(8):
+        arr = rng.integers(0, 255, (32, 32, 3), np.uint8).astype(np.uint8)
+        Image.fromarray(arr).save(a / f"{i}.png")
+        Image.fromarray(arr).save(b / f"{i}.png")
+    main([str(a), str(b), "--dims", "64", "--image_size", "75",
+          "--batch_size", "4"])

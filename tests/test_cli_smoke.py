@@ -107,3 +107,29 @@ def test_fid_cli_two_folders(tmp_path):
         Image.fromarray(arr).save(b / f"{i}.png")
     main([str(a), str(b), "--dims", "64", "--image_size", "75",
           "--batch_size", "4"])
+
+
+def test_train_then_test_pix2pix_cli(tmp_path):
+    """Flagship paired-i2i loop through its CLIs: short synthetic training,
+    then test_pix2pix from the saved checkpoint (EMA translate + L1 +
+    in-memory FID and panel PNGs)."""
+    from de_i2i_gan_tpu.cli.test_pix2pix import main as test_main
+    from de_i2i_gan_tpu.cli.train_pix2pix import main as train_main
+
+    tiny = ["--ckpt_dir", str(tmp_path), "--dataroot", "synthetic",
+            "--crop_size", "32", "--load_size", "36", "--batch_size", "2",
+            "--max_dataset_size", "16", "--dims", "64",
+            "--ngf", "8", "--ndf", "8", "--num_res", "2", "--hidden_nc",
+            "16"]
+    train_main(["--name", "p2p", "--num_epochs", "1",
+                "--save_img_freq", "1000"] + tiny)
+    assert (tmp_path / "p2p" / "latest_state.msgpack").exists()
+
+    res = tmp_path / "res"
+    test_main(["--name", "p2p", "--results_dir", str(res),
+               "--metrics", "fid", "--save_img"] + tiny)
+    assert list(res.rglob("*.png")), "no panels written"
+    vals = __import__("json").loads(
+        (res / "p2p" / "results.json").read_text())
+    assert vals["num_images"] == 16
+    assert np.isfinite(vals["l1"]) and np.isfinite(vals["fid"])

@@ -15,6 +15,7 @@ iters_per_epoch from the defect loader, trainer dispatch.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 
 def build_datasets(opt, phase: str, transform):
@@ -67,8 +68,17 @@ def main(argv=None):
         # cache the UNtransformed images; the C++ side owns crop/flip and
         # fills contiguous u8 super-batches in place (no host np.stack)
         raw, _ = build_datasets(opt, "train", None)
+        if jax.process_count() > 1:
+            # per-host shard BEFORE caching, like the python path above —
+            # otherwise every host caches and feeds identical data
+            from de_i2i_gan_tpu.data.datasets import shard_for_process
+            raw = {k: shard_for_process(v) for k, v in raw.items()}
         root = opt.native_cache_dir or (
             opt.ckpt_dir / "native_cache" / opt.name)
+        if jax.process_count() > 1:
+            # shard-distinct cache path: on a shared filesystem the first
+            # host's cache must not be mistaken for every host's shard
+            root = Path(root) / f"proc{jax.process_index()}"
         loader = make_native_dual_stream(
             raw["defects"], raw["background"], root, opt.image_size,
             opt.batch_size, tcfg.num_critics, seed=opt.seed)

@@ -39,7 +39,7 @@ def main(argv=None):
     tcfg = to_train_config(opt, clf_loss_type)
     if opt.native_loader:
         from de_i2i_gan_tpu.runtime.native_loader import (
-            make_native_loader, native_available)
+            make_native_super_batch, native_available)
         assert native_available(), "--native_loader needs a C++ toolchain"
         if opt.dataset_name == "synthetic":
             raw = dataset
@@ -49,15 +49,16 @@ def main(argv=None):
                       transform=None, seed=opt.seed, **kw)
         root = opt.native_cache_dir or (
             opt.ckpt_dir / "native_cache" / opt.name)
-        base_loader = make_native_loader(raw, root / "fusion",
+        # C++ workers fill contiguous u8 super-batches in place
+        loader = make_native_super_batch(raw, root / "fusion",
                                          opt.image_size, opt.batch_size,
-                                         seed=opt.seed)
+                                         tcfg.num_critics, seed=opt.seed)
     else:
         base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
-    loader = SuperBatchLoader(base_loader, tcfg.num_critics)
+        loader = SuperBatchLoader(base_loader, tcfg.num_critics)
     trainer = MAETrainer(cfg, mcfg, tcfg, name=opt.name,
                          ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
-                         iters_per_epoch=len(base_loader),
+                         iters_per_epoch=len(loader) * tcfg.num_critics,
                          num_epochs=opt.num_epochs,
                          continue_training=opt.continue_training,
                          save_latest_freq=opt.save_latest_freq,

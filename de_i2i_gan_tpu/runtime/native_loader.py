@@ -268,6 +268,37 @@ class NativeDualStreamLoader:
         self.bg.close()
 
 
+class NativeSuperBatchLoader:
+    """Single-stream {'imgs','labels'} super-batches filled in place — the
+    native counterpart of data.pipeline.SuperBatchLoader (the MAE / WGAN
+    feeding shape, leading (num_critics,) axis), same no-np.stack fast path
+    as NativeDualStreamLoader."""
+
+    def __init__(self, loader: NativeDataLoader, num_critics: int,
+                 key: str = "imgs"):
+        assert loader.output_u8, "super-batch fast path is u8-only"
+        self.loader = loader
+        self.num_critics = num_critics
+        self.key = key
+        self.batch_size = loader.batch_size
+
+    def __len__(self):
+        return max(1, self.loader.n_items // self.batch_size
+                   // self.num_critics)
+
+    def __iter__(self) -> Iterator:
+        nc, b, s = self.num_critics, self.batch_size, self.loader.image_size
+        for _ in range(len(self)):
+            imgs = np.empty((nc, b, s, s, self.loader.channels), np.uint8)
+            lbls = np.empty((nc, b, self.loader.label_nc), np.float32)
+            for j in range(nc):
+                self.loader.next_into(imgs[j], lbls[j])
+            yield {self.key: imgs, "labels": lbls}
+
+    def close(self):
+        self.loader.close()
+
+
 class RawPairView:
     """(input, target, path) paired dataset -> (H, W, 6) channel-stacked raw
     samples for the native cache, so the C++ side's crop window and flip
@@ -375,6 +406,20 @@ def make_native_dual_stream(df_dataset, bg_dataset, cache_root: Path,
                           num_threads=num_threads, seed=seed + 1,
                           output_u8=True)
     return NativeDualStreamLoader(df, bg, num_critics)
+
+
+def make_native_super_batch(dataset, cache_dir: Path, image_size: int,
+                            batch_size: int, num_critics: int,
+                            seed: int = 123, num_threads: int = 4,
+                            key: str = "imgs") -> NativeSuperBatchLoader:
+    """Cache a single stream and return the in-place super-batch loader
+    (the --native_loader MAE/WGAN feed)."""
+    cache, index = build_cache(dataset, Path(cache_dir),
+                               max_side=image_size * 2)
+    native = NativeDataLoader(cache, index, image_size, batch_size,
+                              num_threads=num_threads, seed=seed,
+                              output_u8=True)
+    return NativeSuperBatchLoader(native, num_critics, key=key)
 
 
 def make_native_loader(dataset, cache_dir: Path, image_size: int,

@@ -160,3 +160,25 @@ def test_native_dual_stream_super_batches(tmp_path):
     # rows are distinct augmented samples, and launches reuse no buffer
     assert not np.array_equal(b["df"][0], b["df"][1])
     assert b["df"].ctypes.data != batches[1]["df"].ctypes.data
+
+
+def test_native_super_batch_loader(tmp_path):
+    """Single-stream in-place super-batches (the --native_loader MAE/WGAN
+    feed): SuperBatchLoader's {'imgs','labels'} contract, u8, no reuse."""
+    from de_i2i_gan_tpu.runtime.native_loader import make_native_super_batch
+
+    ds = SyntheticDefectDataset(image_size=48, label_nc=6, length=24,
+                                data_type="fusion")
+    loader = make_native_super_batch(ds, tmp_path, image_size=32,
+                                     batch_size=2, num_critics=2, seed=0,
+                                     num_threads=1)
+    assert len(loader) == 24 // 2 // 2
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert set(b) == {"imgs", "labels"}
+    assert b["imgs"].shape == (2, 2, 32, 32, 3)
+    assert b["imgs"].dtype == np.uint8
+    assert b["labels"].shape == (2, 2, 6)
+    assert b["imgs"].ctypes.data != batches[1]["imgs"].ctypes.data
+    loader.close()

@@ -26,11 +26,25 @@ def main(argv=None):
                       transform=TrainTransform(opt.image_size), seed=opt.seed)
     cfg = to_wgan_config(opt)
     tcfg = to_train_config(opt)
-    base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
-    loader = SuperBatchLoader(base_loader, cfg.num_critics)
+    if opt.native_loader:
+        from de_i2i_gan_tpu.runtime.native_loader import (
+            make_native_super_batch, native_available)
+        assert native_available(), "--native_loader needs a C++ toolchain"
+        if opt.dataset_name != "synthetic":
+            # cache the UNtransformed images; the C++ side owns crop/flip
+            dataset = cls(opt.data_dir, opt.dataset_name, "train",
+                          transform=None, seed=opt.seed)
+        root = opt.native_cache_dir or (
+            opt.ckpt_dir / "native_cache" / opt.name)
+        loader = make_native_super_batch(dataset, root / "train",
+                                         opt.image_size, opt.batch_size,
+                                         cfg.num_critics, seed=opt.seed)
+    else:
+        base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
+        loader = SuperBatchLoader(base_loader, cfg.num_critics)
     trainer = WGanTrainer(cfg, tcfg, name=opt.name, ckpt_dir=opt.ckpt_dir,
                           log_dir=opt.log_dir,
-                          iters_per_epoch=len(base_loader),
+                          iters_per_epoch=len(loader) * cfg.num_critics,
                           num_epochs=opt.num_epochs,
                           continue_training=opt.continue_training,
                           save_latest_freq=opt.save_latest_freq,

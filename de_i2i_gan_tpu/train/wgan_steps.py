@@ -137,6 +137,11 @@ class WGanSteps:
                        opt)), {"g_loss": g_loss}
 
     def super_step(self, state: GANTrainState, batches: Dict, rng: jax.Array):
+        # u8 feed support (--native_loader): normalize on device; f32
+        # passthrough (same hook as the DefectGAN/MAE/pix2pix steps)
+        from de_i2i_gan_tpu.ops.fused import batch_images_to_float
+        batches = batch_images_to_float(batches)
+
         def body(carry, sub):
             st, key = carry
             key, k = jax.random.split(key)

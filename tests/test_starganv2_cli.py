@@ -66,3 +66,28 @@ def test_starganv2_cli_train_then_sample(tmp_path):
     res = _json.loads(jsons[0].read_text())
     vals = [v for v in res.values() if isinstance(v, (int, float))]
     assert vals and all(np.isfinite(v) for v in vals)
+
+
+def test_starganv2_cli_pretrain_then_warmstart_train(tmp_path):
+    """MAE repair pretrain mode, then a training run warm-started from the
+    pretrain checkpoint via --pretrain_dir (reference main.py:76-112 +
+    solver.py:57-69 key-filtered load)."""
+    from de_i2i_gan_tpu.cli.starganv2_main import main
+
+    train_dir = _image_tree(tmp_path / "train")
+    val_dir = _image_tree(tmp_path / "val")
+    ckpt = tmp_path / "ckpt"
+    common = ["--train_img_dir", str(train_dir), "--val_img_dir",
+              str(val_dir), "--checkpoint_dir", str(ckpt),
+              "--sample_dir", str(tmp_path / "samples"),
+              "--print_every", "1", "--sample_every", "1000",
+              "--eval_every", "1000"] + TINY
+    main(["--mode", "pretrain", "--total_iters", "2", "--save_every", "2"]
+         + common)
+    assert list((ckpt / "starganv2_pretrain").glob("*.msgpack")), \
+        "pretrain wrote no checkpoint"
+
+    main(["--mode", "train", "--total_iters", "2", "--save_every", "2",
+          "--pretrain_dir", str(ckpt)] + common)
+    assert list((ckpt / "starganv2").glob("000002*")), \
+        list((ckpt / "starganv2").iterdir())

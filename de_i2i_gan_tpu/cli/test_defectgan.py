@@ -250,6 +250,8 @@ def main(argv=None):
                 v = vals[0]
                 if v.ndim == 3:  # (N, num_embeds, C) -> per-sample mean
                     v = v.mean(axis=1)
+                elif v.ndim == 4:  # SPADE conv maps (N, H, W, C) -> spatial
+                    v = v.mean(axis=(1, 2))  # mean, one vector per sample
                 if etype == "hidden":  # reference hooks the post-ReLU output
                     v = jax.nn.relu(v)
                 out[".".join(p for p in path if p != "__call__")] = v

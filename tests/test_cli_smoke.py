@@ -133,3 +133,34 @@ def test_train_then_test_pix2pix_cli(tmp_path):
         (res / "p2p" / "results.json").read_text())
     assert vals["num_images"] == 16
     assert np.isfinite(vals["l1"]) and np.isfinite(vals["fid"])
+
+
+def test_defectgan_test_cli_modes(tmp_path):
+    """cli/test_defectgan beyond the sweep's --metrics fid path: image
+    grids, per-class diverse samples, classifier accuracy, and the
+    style-embedding scatter (reference test_defectgan.py surface)."""
+    import pytest
+    pytest.importorskip("PIL")
+
+    from de_i2i_gan_tpu.cli.test_defectgan import main as test_main
+    from de_i2i_gan_tpu.cli.train_defectgan import main as train_main
+
+    tiny = ["--ckpt_dir", str(tmp_path), "--dataset_name", "synthetic",
+            "--image_size", "32", "--label_nc", "4", "--batch_size", "2",
+            "--ngf", "8", "--ndf", "8", "--num_scales", "2", "--num_res",
+            "2", "--hidden_nc", "16", "--num_layers", "2"]
+    train_main(["--name", "dg", "--num_epochs", "1", "--num_critics", "2",
+                "--save_img_freq", "1000"] + tiny)
+
+    res = tmp_path / "res"
+    test_main(["--name", "dg", "--results_dir", str(res),
+               "--save_img_grid", "--save_diverse_images", "--cal_clf",
+               "--num_display_images", "2"] + tiny)
+    assert list(res.rglob("*.png")), "no grids written"
+
+    test_main(["--name", "dg", "--results_dir", str(res),
+               "--vis_style_embeds", "hidden",
+               "--num_display_images", "2"] + tiny)
+    outs = [p.name for p in res.rglob("*")]
+    assert any("embed" in n or "style" in n or n.endswith(".png")
+               for n in outs), outs

@@ -152,6 +152,27 @@ def _make_train_fetcher(args, img_dir, tf, solver=None):
             "randomly initialized ViT (shapes/flow exercised, styles "
             "not semantic) and lambda_sty is inactive")
     extractor = FeatureExtractor(variables)
+    from de_i2i_gan_tpu.models.vit import SIZES
+    vit_dim = SIZES[net.model_size]["hidden"]
+    if args.embed_nc != vit_dim:
+        if args.vit_path:
+            raise SystemExit(
+                f"--embed_nc {args.embed_nc} must match the frozen ViT's "
+                f"hidden width ({vit_dim}) when --vit_path is given")
+
+        # random-ViT flow-exercise mode (warn above): adapt the embedding
+        # width so reduced --embed_nc configs (tests, small sweeps) run
+        class _Sliced:
+            def __init__(self, base, dim):
+                self.base, self.dim = base, dim
+
+            def extract(self, x_ref, num_embeds, rng=None):
+                e = self.base.extract(x_ref, num_embeds, rng)
+                assert self.dim <= e.shape[-1], \
+                    f"--embed_nc {self.dim} > ViT width {e.shape[-1]}"
+                return e[..., :self.dim]
+
+        extractor = _Sliced(extractor, args.embed_nc)
     style = BalancedLoader(
         RandomReferenceDataset(img_dir, args.num_embeds, tf, args.seed),
         args.batch_size, seed=args.seed + 2)

@@ -91,3 +91,26 @@ def test_starganv2_cli_pretrain_then_warmstart_train(tmp_path):
           "--pretrain_dir", str(ckpt)] + common)
     assert list((ckpt / "starganv2").glob("000002*")), \
         list((ckpt / "starganv2").iterdir())
+
+
+def test_starganv2_cli_sean_train_and_update_stats(tmp_path):
+    """SEAN variant: short training, then the update_stats mode (EMA
+    running-style sweep, solver.py:379-406) producing the stats_updated
+    checkpoint."""
+    from de_i2i_gan_tpu.cli.starganv2_main import main
+
+    train_dir = _image_tree(tmp_path / "train")
+    val_dir = _image_tree(tmp_path / "val")
+    ckpt = tmp_path / "ckpt"
+    sean = [t for t in TINY] + ["--norm_type", "sean"]
+    common = ["--train_img_dir", str(train_dir), "--val_img_dir",
+              str(val_dir), "--checkpoint_dir", str(ckpt),
+              "--sample_dir", str(tmp_path / "samples"),
+              "--print_every", "1", "--sample_every", "1000",
+              "--eval_every", "1000"] + sean
+    main(["--mode", "train", "--total_iters", "2", "--save_every", "2"]
+         + common)
+    main(["--mode", "update_stats", "--resume_iter", "2",
+          "--num_stats_samples", "2"] + common)
+    assert list((ckpt / "starganv2").glob("stats_updated*")), \
+        list((ckpt / "starganv2").iterdir())

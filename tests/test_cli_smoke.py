@@ -164,3 +164,55 @@ def test_defectgan_test_cli_modes(tmp_path):
     outs = [p.name for p in res.rglob("*")]
     assert any("embed" in n or "style" in n or n.endswith(".png")
                for n in outs), outs
+
+
+def test_defectgan_save_stats_then_cal_mfid(tmp_path):
+    """--save_stats dumps per-class Inception activations; --cal_mfid
+    consumes the dump directory and reports per-class FID + mFID
+    (reference defectgan_metrics.py:104-123 chain)."""
+    import json
+
+    import pytest
+    pytest.importorskip("PIL")
+
+    from de_i2i_gan_tpu.cli.test_defectgan import main as test_main
+    from de_i2i_gan_tpu.cli.train_defectgan import main as train_main
+
+    tiny = ["--ckpt_dir", str(tmp_path), "--dataset_name", "synthetic",
+            "--image_size", "32", "--label_nc", "4", "--batch_size", "2",
+            "--ngf", "8", "--ndf", "8", "--num_scales", "2", "--num_res",
+            "2", "--hidden_nc", "16", "--num_layers", "2", "--dims", "64"]
+    train_main(["--name", "dgm", "--num_epochs", "1", "--num_critics", "2",
+                "--save_img_freq", "1000"] + tiny)
+
+    res = tmp_path / "res"
+    test_main(["--name", "dgm", "--results_dir", str(res), "--save_stats"]
+              + tiny)
+    stats = list((res / "dgm").glob("stats_*.npy"))
+    assert stats, "no per-class stats written"
+
+    mout = tmp_path / "mfid.json"
+    test_main(["--name", "dgm", "--results_dir", str(res), "--cal_mfid",
+               "--npy_path", str(res / "dgm"), "--num_imgs", "4",
+               "--metrics_out", str(mout)] + tiny)
+    vals = json.loads(mout.read_text())
+    assert "mfid" in vals
+
+
+def test_train_pix2pix_cli_native_loader(tmp_path):
+    """--native_loader on the flagship CLI: 6-channel paired C++ cache,
+    in-place u8 pair buffers, split on device inside the jitted step."""
+    import pytest
+
+    from de_i2i_gan_tpu.runtime.native_loader import native_available
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from de_i2i_gan_tpu.cli.train_pix2pix import main
+
+    main(["--name", "p2pn", "--ckpt_dir", str(tmp_path),
+          "--dataroot", "synthetic", "--crop_size", "32", "--load_size",
+          "36", "--batch_size", "2", "--max_dataset_size", "16",
+          "--ngf", "8", "--ndf", "8", "--num_res", "2", "--hidden_nc",
+          "16", "--num_epochs", "1", "--native_loader",
+          "--save_img_freq", "1000"])
+    assert (tmp_path / "p2pn" / "latest_state.msgpack").exists()

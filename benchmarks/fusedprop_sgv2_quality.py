@@ -50,7 +50,8 @@ def synth_batch(rng, batch, size, latent_dim, num_domains):
 def run(fused: bool, iters: int, size: int, batch: int, window: int):
     import jax
     # persistent compile cache (must be set via jax.config; env is ignored)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+    from de_i2i_gan_tpu import default_cache_dir
+    jax.config.update("jax_compilation_cache_dir", default_cache_dir())
     from de_i2i_gan_tpu.train.solver import StarGANv2Config, StarGANv2Solver
 
     on_tpu = jax.default_backend() == "tpu"

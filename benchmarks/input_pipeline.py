@@ -73,7 +73,8 @@ def main():
 
     import jax
     # persistent compile cache (must be set via jax.config; env is ignored)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+    from de_i2i_gan_tpu import default_cache_dir
+    jax.config.update("jax_compilation_cache_dir", default_cache_dir())
     import jax.numpy as jnp
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.data.datasets import _FileDataset

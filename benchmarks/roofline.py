@@ -39,7 +39,8 @@ def main():
 
     import jax
     # persistent compile cache (must be set via jax.config; env is ignored)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+    from de_i2i_gan_tpu import default_cache_dir
+    jax.config.update("jax_compilation_cache_dir", default_cache_dir())
     import jax.numpy as jnp
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
 
@@ -81,7 +82,8 @@ def main():
                                                  StarGANv2Solver)
         cfg = StarGANv2Config(img_size=size, num_domains=3, w_hpf=0.0,
                               norm_type=args.workload.split("_")[1],
-                              batch_size=batch, compute_dtype="bfloat16")
+                              batch_size=batch, compute_dtype="bfloat16",
+                              allow_degraded_losses=True)
         steps = StarGANv2Solver(cfg)
         batch_t = {
             "x_src": jax.random.uniform(k, (batch, size, size, 3),

@@ -25,6 +25,31 @@ Reference layout map (file:line cites in docstrings point into /root/reference):
 __version__ = "0.1.0"
 
 
+def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache") -> str:
+    """Host-fingerprinted compile-cache path.
+
+    XLA:CPU cache entries are AOT executables specialized to the compiling
+    host's CPU features; a cache dir inherited from a DIFFERENT host (the
+    round snapshot carries /tmp across machines) fails every load with a
+    machine-feature mismatch and silently recompiles without re-storing —
+    i.e. a poisoned cache that is strictly slower than no cache. Suffixing
+    the dir with a CPU-feature fingerprint gives each host its own cache.
+    """
+    import hashlib
+
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = line
+                    break
+        fp = hashlib.sha256(flags.encode()).hexdigest()[:8]
+    except OSError:
+        fp = "nofp"
+    return f"{base}_{fp}"
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Point JAX's persistent compilation cache at a stable on-disk path.
 
@@ -38,9 +63,11 @@ def enable_compile_cache(path: str | None = None) -> None:
     """
     import os
 
-    path = path or os.environ.get("DE_I2I_JAX_CACHE",
-                                  "/tmp/de_i2i_jax_cache")
     if not path:
+        path = os.environ.get("DE_I2I_JAX_CACHE")
+        if path is None:
+            path = default_cache_dir()
+    if not path:  # DE_I2I_JAX_CACHE="" disables the cache entirely
         return
     import jax
 

@@ -89,6 +89,16 @@ def build_parser():
                         "val_img_dir)")
     p.add_argument("--result_dir", type=Path, default=None,
                    help="sample mode output dir (default sample_dir)")
+    p.add_argument("--allow_degraded_losses", action="store_true",
+                   help="proceed even when a loss term would silently "
+                        "degrade (sean without --vit_path: lambda_sty "
+                        "inactive; w_hpf>0 without FAN: cycle reuses source "
+                        "masks). Off = hard error")
+    p.add_argument("--make_video", action="store_true",
+                   help="sample mode: also render the reference-guided "
+                        "interpolation video (core/utils.py:394-419 "
+                        "video_ref; the reference ships the capability "
+                        "behind a commented call, core/solver.py:365-367)")
     p.add_argument("--vit_path", type=str, default=None,
                    help="HF ViT name/local path for the frozen sean-mode "
                         "feature extractor (random init if omitted)")
@@ -96,6 +106,14 @@ def build_parser():
     p.add_argument("--fused_prop", action="store_true",
                    help="FusedProp joint D+G backward (arxiv 2004.03335; "
                         "simultaneous-update semantics, ~7-9% faster)")
+    p.add_argument("--data_parallel", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="shard the batch over all devices (params "
+                        "replicated, GSPMD grad all-reduce over ICI) — the "
+                        "TPU-native equivalent of the reference's "
+                        "nn.DataParallel wrap of every net "
+                        "(core/model.py:694-731). 'auto' enables it when >1 "
+                        "device is visible and batch_size divides evenly")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     # MAE pretrain mode (main.py:171-175)
     p.add_argument("--patch_size", type=int, default=32)
@@ -208,6 +226,7 @@ def main(argv=None):
         beta1=args.beta1, beta2=args.beta2, weight_decay=args.weight_decay,
         num_embeds=args.num_embeds, diff_aug=args.DiffAugment,
         fused_prop=args.fused_prop,
+        allow_degraded_losses=args.allow_degraded_losses,
         compute_dtype=args.compute_dtype)
 
     if args.mode == "align":
@@ -242,12 +261,55 @@ def main(argv=None):
         tf = TrainTransform(args.img_size, jitter=False, vflip=False,
                             randcrop_prob=args.randcrop_prob)
         fetcher = _make_train_fetcher(args, args.train_img_dir, tf, solver)
+
+        # fixed val inputs for the periodic in-training debug grids
+        # (core/solver.py:228-229,327-330: inputs_val = next(fetcher_val),
+        # debug_image every sample_every). sean mode reuses the train
+        # fetcher's batch — it carries the frozen-ViT s_ref stacks a second
+        # val-side fetcher would need a duplicate ViT to produce.
+        from de_i2i_gan_tpu.utils.translate import debug_image
+        inputs_val = None
+        if args.norm_type == "sean":
+            inputs_val = next(fetcher)
+        elif Path(args.val_img_dir).is_dir():
+            from de_i2i_gan_tpu.data.transforms import EvalTransform
+            val_tf = EvalTransform(args.img_size)
+            val_src = BalancedLoader(
+                ImageFolderDataset(args.val_img_dir, val_tf, args.seed),
+                args.val_batch_size, seed=args.seed)
+            val_ref = make_reference_loader(
+                ReferenceDataset(args.val_img_dir, val_tf, args.seed),
+                args.val_batch_size, seed=args.seed + 1)
+            inputs_val = next(InputFetcher(val_src, val_ref, args.latent_dim,
+                                           args.norm_type, args.hidden_nc,
+                                           args.seed))
+        else:
+            inputs_val = next(fetcher)
+
+        # multi-chip data parallelism — the TPU-native equivalent of the
+        # reference's nn.DataParallel wrap of every net
+        # (core/model.py:694-731): batch sharded over a 1-D 'data' mesh,
+        # all net/opt/EMA state replicated, GSPMD grad all-reduce over ICI
+        from de_i2i_gan_tpu.parallel.mesh import (
+            batch_sharding, make_parallel_step, mesh_from_flag, put_batch,
+            put_replicated)
+        mesh = mesh_from_flag(args.data_parallel, args.batch_size)
+        if mesh is not None:
+            print(f"data-parallel over {mesh.devices.size} devices")
+            step_fn = make_parallel_step(solver.train_step, mesh)
+            state = put_replicated(state, mesh)
+            data_sh = batch_sharding(mesh)
+        else:
+            step_fn = solver.jit_train_step
+
         rng = jax.random.PRNGKey(args.seed)
         running = defaultdict(float)
         for i in range(args.resume_iter, args.total_iters):
             batch = next(fetcher)
+            if mesh is not None:
+                batch = put_batch(batch, data_sh)
             rng, key = jax.random.split(rng)
-            state, metrics = solver.jit_train_step(state, batch, key)
+            state, metrics = step_fn(state, batch, key)
             if cfg.norm_type == "sean" and \
                     (i + 1) % max(args.update_sean_every, 1) == 0:
                 state = solver.update_sean_stats(state)
@@ -258,8 +320,17 @@ def main(argv=None):
                                for k in sorted(running))
                 print(f"Iteration [{i + 1}/{args.total_iters}] {log}")
                 running.clear()
+            # periodic sample dump (core/solver.py:321-324)
+            if (i + 1) % args.sample_every == 0:
+                debug_image(solver, state, inputs_val, i + 1,
+                            args.sample_dir)
             if (i + 1) % args.save_every == 0:
                 save_checkpoint(ckpt_dir, "starganv2", f"{i + 1:06d}", state)
+            # in-training metric eval (core/solver.py:346-349)
+            if (i + 1) % args.eval_every == 0:
+                from de_i2i_gan_tpu.metrics.eval_starganv2 import (
+                    evaluate_all_tasks)
+                evaluate_all_tasks(solver, state, args, step=i + 1)
         save_checkpoint(ckpt_dir, "starganv2", "latest", state)
     elif args.mode == "sample":
         # reference-guided + cycle sample grids (stargan-v2 utils.py:110-174)
@@ -281,6 +352,25 @@ def main(argv=None):
                                args.hidden_nc, args.seed)
         inputs = next(fetcher)
         debug_image(solver, state, inputs, args.resume_iter, args.sample_dir)
+        if args.make_video:
+            if args.norm_type == "sean" and "s_ref" not in inputs:
+                print("[sample] --make_video skipped: sean mode needs "
+                      "s_ref embed stacks (run with a sean fetcher)")
+            else:
+                from de_i2i_gan_tpu.utils.translate import video_ref
+                # sort refs by domain so same-domain consecutive pairs
+                # exist (video_ref only transitions within a domain,
+                # core/utils.py:402-407)
+                order = np.argsort(np.asarray(inputs["y_ref"]),
+                                   kind="stable")[:4]
+                out = video_ref(
+                    solver, state, jnp.asarray(inputs["x_src"][:2]),
+                    jnp.asarray(inputs["x_ref"])[order],
+                    np.asarray(inputs["y_ref"])[order],
+                    Path(args.sample_dir) / "video_ref.mp4",
+                    s_ref=(jnp.asarray(inputs["s_ref"])[order]
+                           if "s_ref" in inputs else None))
+                print(f"video_ref -> {out}")
         if args.norm_type == "adain":
             z_list = [jnp.asarray(np.random.default_rng(i).standard_normal(
                 args.latent_dim).astype(np.float32)) for i in range(3)]
@@ -297,12 +387,25 @@ def main(argv=None):
     elif args.mode == "pretrain":
         tf = TrainTransform(args.img_size, jitter=False, vflip=False)
         fetcher = _make_train_fetcher(args, args.train_img_dir, tf, solver)
+        from de_i2i_gan_tpu.parallel.mesh import (
+            batch_sharding, make_parallel_step, mesh_from_flag, put_batch,
+            put_replicated)
+        mesh = mesh_from_flag(args.data_parallel, args.batch_size)
+        if mesh is not None:
+            print(f"data-parallel over {mesh.devices.size} devices")
+            step_fn = make_parallel_step(solver.pretrain_step, mesh)
+            state = put_replicated(state, mesh)
+            data_sh = batch_sharding(mesh)
+        else:
+            step_fn = solver.jit_pretrain_step
         rng = jax.random.PRNGKey(args.seed)
         running = defaultdict(float)
         for i in range(args.resume_iter, args.total_iters):
             batch = next(fetcher)
+            if mesh is not None:
+                batch = put_batch(batch, data_sh)
             rng, key = jax.random.split(rng)
-            state, metrics = solver.jit_pretrain_step(state, batch, key)
+            state, metrics = step_fn(state, batch, key)
             for k, v in metrics.items():
                 running[k] += float(v)
             if (i + 1) % args.print_every == 0:

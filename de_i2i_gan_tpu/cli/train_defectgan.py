@@ -118,7 +118,55 @@ def main(argv=None):
         save_latest_freq=opt.save_latest_freq,
         save_ckpt_freq=opt.save_ckpt_freq, save_img_freq=opt.save_img_freq,
         seed=opt.seed, embed_bank=embed_bank)
-    trainer.train(loader)
+
+    # in-training validation FID/IS/LPIPS every save_ckpt_freq epochs
+    # (reference defectgan_trainer.py:32-43 builds Inception+LPIPS when
+    # phase == 'val'; :124-136 runs _val_epoch -> calculate_metrics_from_model)
+    val_fn = None
+    if opt.val_metrics:
+        import json as _json
+
+        import jax.numpy as jnp
+
+        from de_i2i_gan_tpu.data.pipeline import InfiniteLoader
+        from de_i2i_gan_tpu.data.transforms import EvalTransform
+        from de_i2i_gan_tpu.metrics.evaluator import Evaluator
+
+        val_sets, _ = build_datasets(opt, "val",
+                                     EvalTransform(opt.image_size))
+        val_df = DataLoader(val_sets["defects"], opt.batch_size,
+                            seed=opt.seed)
+        val_bg = InfiniteLoader(DataLoader(val_sets["background"],
+                                           opt.batch_size,
+                                           seed=opt.seed + 1))
+        ev = Evaluator(dims=opt.dims)
+        steps = trainer.steps
+
+        def _generate(state):
+            def fn(bg_imgs, labels):
+                feat = None
+                if cfg.style_norm_block_type == "sean":
+                    feat = jnp.zeros((bg_imgs.shape[0], cfg.num_embeds,
+                                      cfg.embed_nc))
+                out, _ = steps.jit_generate(state, bg_imgs, labels, feat)
+                return out
+            return fn
+
+        def val_fn(state, epoch):
+            out = ev.evaluate_generator(
+                _generate(state), val_bg, val_df, num_imgs=opt.num_imgs,
+                npz_path=Path(opt.npz_path) if opt.npz_path else None,
+                metrics=tuple(opt.val_metrics),
+                num_lpips_images=opt.num_lpips_images)
+            path = (Path(opt.ckpt_dir) / opt.name /
+                    f"val_metrics_{epoch}.json")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_text(_json.dumps(out))
+            print({k: round(v, 4) for k, v in out.items()},
+                  f"at epoch {epoch}")
+            return out
+
+    trainer.train(loader, val_fn=val_fn)
 
 
 if __name__ == "__main__":

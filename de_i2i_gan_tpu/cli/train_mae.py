@@ -56,8 +56,16 @@ def main(argv=None):
     else:
         base_loader = DataLoader(dataset, opt.batch_size, seed=opt.seed)
         loader = SuperBatchLoader(base_loader, tcfg.num_critics)
+
+    # multi-chip data parallelism (on by default when >1 device is visible)
+    from de_i2i_gan_tpu.parallel.mesh import mesh_from_flag
+    mesh = mesh_from_flag(opt.data_parallel, opt.batch_size)
+    if mesh is not None:
+        print(f"data-parallel over {mesh.devices.size} devices")
+
     trainer = MAETrainer(cfg, mcfg, tcfg, name=opt.name,
                          ckpt_dir=opt.ckpt_dir, log_dir=opt.log_dir,
+                         mesh=mesh,
                          iters_per_epoch=len(loader) * tcfg.num_critics,
                          num_epochs=opt.num_epochs,
                          continue_training=opt.continue_training,

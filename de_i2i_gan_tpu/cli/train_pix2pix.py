@@ -52,32 +52,56 @@ def main(argv=None):
     from de_i2i_gan_tpu.data.paired import PairedLoader
     from de_i2i_gan_tpu.train.trainer import Pix2PixTrainer
 
+    # multi-host: no-op single-process; on a TPU slice every host runs this
+    # same program, joins via jax.distributed, and loads its own data shard
+    from de_i2i_gan_tpu.parallel.distributed import initialize
+    initialize()
+
     opt = Options("pix2pix_train").parse(argv)
     cfg = to_pix2pix_config(opt)
     tcfg = to_train_config(opt)
 
+    import jax
     dataset = build_dataset(opt, "train")
+    if jax.process_count() > 1:
+        # per-host shard BEFORE caching/loading — otherwise every host feeds
+        # identical same-seed batches and the global batch duplicates data
+        from de_i2i_gan_tpu.data.datasets import shard_for_process
+        dataset = shard_for_process(dataset)
+    seed = opt.seed + jax.process_index()
     num_d = opt.num_D if opt.netD == "multiscale" else 1
     if opt.native_loader:
+        from pathlib import Path
+
         from de_i2i_gan_tpu.runtime.native_loader import (
             make_paired_native_loader, native_available)
         assert native_available(), "--native_loader needs a C++ toolchain"
         # cache the UNaugmented pairs at load_size; the C++ side owns the
-        # shared random-crop + hflip (aug_mode=2) and ships u8 batches
+        # shared random-crop + hflip (aug_mode=2) and ships u8 batches.
         raw = build_dataset(opt, "train")
-        raw = getattr(raw, "dataset", raw)  # unwrap --max_dataset_size view
-        if hasattr(raw, "load_size"):  # file-backed: disable host-side aug
-            raw.load_size = opt.load_size
-            raw.crop_size = opt.load_size
-            raw.flip = False
+        # mutate the INNER dataset's transform knobs but keep the
+        # --max_dataset_size view for caching, so the cache and the epoch
+        # length honor the cap (the view is a pass-through otherwise)
+        inner = getattr(raw, "dataset", raw)
+        if hasattr(inner, "load_size"):  # file-backed: disable host-side aug
+            inner.load_size = opt.load_size
+            inner.crop_size = opt.load_size
+            inner.flip = False
+        if jax.process_count() > 1:
+            from de_i2i_gan_tpu.data.datasets import shard_for_process
+            raw = shard_for_process(raw)
         root = opt.native_cache_dir or (
             opt.ckpt_dir / "native_cache" / opt.name)
+        if jax.process_count() > 1:
+            # shard-distinct cache path: on a shared filesystem the first
+            # host's cache must not be mistaken for every host's shard
+            root = Path(root) / f"proc{jax.process_index()}"
         loader = make_paired_native_loader(
             raw, root / "pairs", opt.crop_size, opt.batch_size,
-            load_size=opt.load_size, seed=opt.seed,
+            load_size=opt.load_size, seed=seed,
             iters_per_launch=max(opt.iters_per_launch, 1))
     else:
-        loader = PairedLoader(dataset, opt.batch_size, seed=opt.seed,
+        loader = PairedLoader(dataset, opt.batch_size, seed=seed,
                               iters_per_launch=max(opt.iters_per_launch, 1))
     print(f"{len(dataset)} paired train images")
 

@@ -80,6 +80,11 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--save_img_freq", type=int, default=4)
     p.add_argument("--num_display_images", type=int, default=8)
     p.add_argument("--ema_decay", type=float, default=0.0)
+    p.add_argument("--val_metrics", type=str, nargs="+", default=None,
+                   help="in-training validation metrics [fid|is|lpips] "
+                        "computed over the val split every save_ckpt_freq "
+                        "epochs (reference defectgan_trainer.py:124-136 "
+                        "_val_epoch); off when omitted")
     # TPU-native extension: C++ runtime input pipeline (runtime/dataloader.cc)
     p.add_argument("--native_loader", action="store_true",
                    help="stream augmented batches from the C++ loader "

@@ -32,7 +32,8 @@ from de_i2i_gan_tpu.metrics.lpips import pairwise_lpips
 
 
 def evaluate_all_tasks(solver, state, args, evaluator: Optional[Evaluator] = None,
-                       mode: str = "latent") -> Dict[str, float]:
+                       mode: str = "latent",
+                       step: Optional[int] = None) -> Dict[str, float]:
     ev = evaluator or Evaluator()
     val_root = Path(args.val_img_dir)
     domains = list_domains(val_root)
@@ -106,7 +107,10 @@ def evaluate_all_tasks(solver, state, args, evaluator: Optional[Evaluator] = Non
         results[f"LPIPS_{mode}/mean"] = float(np.mean(lpips_vals))
     out_dir = Path(getattr(args, "eval_dir", "expr/eval"))
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / f"results_{mode}.json").write_text(json.dumps(results,
-                                                             indent=1))
+    # in-training evals are step-tagged like the reference's per-step JSONs
+    # (metrics/eval.py:136-137 writes LPIPS_{step}_{mode}.json)
+    tag = f"results_{step:06d}_{mode}.json" if step is not None \
+        else f"results_{mode}.json"
+    (out_dir / tag).write_text(json.dumps(results, indent=1))
     print(results)
     return results

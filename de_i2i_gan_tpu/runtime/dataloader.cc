@@ -223,7 +223,14 @@ class Loader {
     const int S = image_size_;
     std::uniform_real_distribution<float> uni(0.f, 1.f);
 
-    if (augment_ == 2 && it.h >= S && it.w >= S) {
+    // Integer fast path: valid ONLY when the cache is stored at load_size,
+    // i.e. the crop_frac_ window already IS S x S (within 1 px). A larger
+    // cached image must fall through to the fractional bilinear path below,
+    // or crop_frac_ would be silently ignored and the crop schedule would
+    // shrink to a tiny fraction of the documented resize->crop recipe.
+    if (augment_ == 2 && it.h >= S && it.w >= S &&
+        std::fabs(it.h * crop_frac_ - S) <= 1.f &&
+        std::fabs(it.w * crop_frac_ - S) <= 1.f) {
       int iy = std::min((int)(uni(gen) * (it.h - S + 1)), it.h - S);
       int ix = std::min((int)(uni(gen) * (it.w - S + 1)), it.w - S);
       crop_copy(it, src, iy, ix, uni(gen) < 0.5f, img_out);

@@ -77,15 +77,46 @@ def _load_lib():
 
 
 def build_cache(dataset, cache_dir: Path, max_side: Optional[int] = None,
-                channels: int = 3) -> Tuple[Path, Path]:
+                channels: int = 3,
+                value_range: Optional[str] = None) -> Tuple[Path, Path]:
     """Decode a map-style dataset (items: (img_or_array, label, path)) into
-    the raw cache. Dataset items may be PIL images, uint8 or float arrays."""
+    the raw cache. Dataset items may be PIL images, uint8 or float arrays.
+
+    ``value_range``: "pm1" (floats are in [-1,1]), "01" (floats in [0,1]) or
+    None (per-image min() heuristic — ambiguous for a bright [-1,1] image
+    whose minimum is >= -0.01, so callers that KNOW their range should say
+    so; AlignedDataset/RawPairView/Synthetic* always emit [-1,1]).
+
+    An existing cache is reused only when its ``meta.json`` fingerprint
+    (item count, channels, first-item shape, max_side, value_range) matches;
+    otherwise it is rebuilt — rerunning with the same --name but a different
+    --load_size/--direction/dataset must not silently train on stale pairs.
+    """
+    import json as _json
+
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
     cache_path = cache_dir / "images.u8"
     index_path = cache_dir / "index.bin"
+    meta_path = cache_dir / "meta.json"
+    img0, _, _ = dataset[0]
+    fingerprint = {
+        "version": 2,
+        "n_items": len(dataset),
+        "channels": channels,
+        "max_side": max_side,
+        "value_range": value_range or "auto",
+        "first_item_shape": list(np.asarray(img0).shape),
+    }
     if cache_path.exists() and index_path.exists():
-        return cache_path, index_path
+        try:
+            if _json.loads(meta_path.read_text()) == fingerprint:
+                return cache_path, index_path
+        except (OSError, ValueError):
+            pass  # unstamped/corrupt meta -> rebuild
+        print(f"[native_loader] cache at {cache_dir} does not match the "
+              "requested dataset (or predates fingerprinting); rebuilding")
+        meta_path.unlink(missing_ok=True)
 
     entries = []
     with cache_path.open("wb") as f:
@@ -94,9 +125,10 @@ def build_cache(dataset, cache_dir: Path, max_side: Optional[int] = None,
             img, label, _ = dataset[i]
             arr = np.asarray(img)
             if arr.dtype != np.uint8:
-                # float in [-1,1] or [0,1]
                 a = arr.astype(np.float32)
-                if a.min() < -0.01:
+                vr = value_range or (
+                    "pm1" if a.min() < -0.01 else "01")
+                if vr == "pm1":
                     a = (a + 1.0) / 2.0
                 arr = np.clip(a * 255.0, 0, 255).astype(np.uint8)
             if arr.ndim == 2:
@@ -121,6 +153,7 @@ def build_cache(dataset, cache_dir: Path, max_side: Optional[int] = None,
         for offset, h, w, label in entries:
             f.write(struct.pack("<Qii", offset, h, w))
             f.write(label.tobytes())
+    meta_path.write_text(_json.dumps(fingerprint))
     return cache_path, index_path
 
 
@@ -376,8 +409,10 @@ def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
     resize(load_size) -> random-crop(crop_size) schedule on the cached
     full-size pair.
     """
+    # paired datasets (AlignedDataset, SyntheticPairedDataset) always emit
+    # [-1,1] floats; say so instead of per-image range guessing
     cache, index = build_cache(RawPairView(dataset), Path(cache_dir),
-                               channels=6)
+                               channels=6, value_range="pm1")
     native = NativeDataLoader(
         cache, index, image_size, batch_size, num_threads=num_threads,
         seed=seed, channels=6, output_u8=True,
@@ -391,15 +426,18 @@ def make_paired_native_loader(dataset, cache_dir: Path, image_size: int,
 def make_native_dual_stream(df_dataset, bg_dataset, cache_root: Path,
                             image_size: int, batch_size: int,
                             num_critics: int, seed: int = 123,
-                            num_threads: int = 4
+                            num_threads: int = 4,
+                            value_range: str | None = None
                             ) -> NativeDualStreamLoader:
     """Cache both streams and return the in-place super-batch loader (the
     --native_loader DefectGAN feed)."""
     df_cache, df_index = build_cache(df_dataset, Path(cache_root) / "defects",
-                                     max_side=image_size * 2)
+                                     max_side=image_size * 2,
+                                     value_range=value_range)
     bg_cache, bg_index = build_cache(bg_dataset,
                                      Path(cache_root) / "background",
-                                     max_side=image_size * 2)
+                                     max_side=image_size * 2,
+                                     value_range=value_range)
     df = NativeDataLoader(df_cache, df_index, image_size, batch_size,
                           num_threads=num_threads, seed=seed, output_u8=True)
     bg = NativeDataLoader(bg_cache, bg_index, image_size, batch_size,
@@ -411,11 +449,14 @@ def make_native_dual_stream(df_dataset, bg_dataset, cache_root: Path,
 def make_native_super_batch(dataset, cache_dir: Path, image_size: int,
                             batch_size: int, num_critics: int,
                             seed: int = 123, num_threads: int = 4,
-                            key: str = "imgs") -> NativeSuperBatchLoader:
+                            key: str = "imgs",
+                            value_range: str | None = None
+                            ) -> NativeSuperBatchLoader:
     """Cache a single stream and return the in-place super-batch loader
     (the --native_loader MAE/WGAN feed)."""
     cache, index = build_cache(dataset, Path(cache_dir),
-                               max_side=image_size * 2)
+                               max_side=image_size * 2,
+                               value_range=value_range)
     native = NativeDataLoader(cache, index, image_size, batch_size,
                               num_threads=num_threads, seed=seed,
                               output_u8=True)
@@ -426,7 +467,8 @@ def make_native_loader(dataset, cache_dir: Path, image_size: int,
                        batch_size: int, seed: int = 123,
                        num_threads: int = 4, augment: bool = True,
                        max_side: Optional[int] = None,
-                       output_u8: bool = True) -> EpochView:
+                       output_u8: bool = True,
+                       value_range: Optional[str] = None) -> EpochView:
     """Cache ``dataset`` (UNtransformed items — the C++ side does the random
     resized crop + flips itself) and return an epoch-shaped loader over it.
 
@@ -437,7 +479,8 @@ def make_native_loader(dataset, cache_dir: Path, image_size: int,
     on device.
     """
     cache, index = build_cache(dataset, Path(cache_dir),
-                               max_side=max_side or image_size * 2)
+                               max_side=max_side or image_size * 2,
+                               value_range=value_range)
     native = NativeDataLoader(cache, index, image_size, batch_size,
                               num_threads=num_threads, seed=seed,
                               augment=augment, output_u8=output_u8)

@@ -77,6 +77,12 @@ class StarGANv2Config:
     # update semantics — G's gradient sees the pre-update D). Opt-in.
     fused_prop: bool = False
     compute_dtype: str = "float32"
+    # Strict-by-default guard: training configurations that silently degrade
+    # a loss term (sean without a frozen ViT -> lambda_sty inactive; w_hpf>0
+    # without FAN -> cycle pass reuses source masks) are ERRORS unless this
+    # is set (CLI: --allow_degraded_losses). Reference semantics always
+    # compute both terms (solver.py:515, :529).
+    allow_degraded_losses: bool = False
 
     @property
     def dtype(self):
@@ -332,11 +338,16 @@ class StarGANv2Solver:
         else:
             s_pred = batch.get("s_fake_pred")
             if s_pred is None:
-                self._warn_once(
-                    "sean_sty",
-                    "sean mode without set_frozen_nets(vit_variables=...): "
-                    "lambda_sty style-reconstruction loss is INACTIVE "
-                    "(reference solver.py:515 embeds x_fake via frozen ViT)")
+                msg = ("sean mode without set_frozen_nets(vit_variables=...):"
+                       " lambda_sty style-reconstruction loss is INACTIVE "
+                       "(reference solver.py:515 embeds x_fake via frozen "
+                       "ViT)")
+                if not self.cfg.allow_degraded_losses:
+                    raise ValueError(
+                        msg + ". Refusing to train with a silently zeroed "
+                        "loss term; pass --allow_degraded_losses (or set "
+                        "StarGANv2Config.allow_degraded_losses) to proceed.")
+                self._warn_once("sean_sty", msg)
             loss_sty = l1(s_pred, s_trg) if s_pred is not None else jnp.zeros(())
 
         # diversity-sensitive loss (solver.py:519-527)
@@ -352,11 +363,16 @@ class StarGANv2Solver:
         else:
             if cfg.w_hpf > 0 and masks is not None \
                     and "masks_fake" not in batch:
-                self._warn_once(
-                    "cyc_masks",
-                    "w_hpf > 0 without set_frozen_nets(fan_variables=...): "
-                    "cycle pass reuses SOURCE masks instead of recomputing "
-                    "fan.get_heatmap(x_fake) (reference solver.py:529)")
+                msg = ("w_hpf > 0 without set_frozen_nets(fan_variables=...):"
+                       " cycle pass reuses SOURCE masks instead of "
+                       "recomputing fan.get_heatmap(x_fake) (reference "
+                       "solver.py:529)")
+                if not self.cfg.allow_degraded_losses:
+                    raise ValueError(
+                        msg + ". Refusing to train with wrong cycle masks; "
+                        "pass --allow_degraded_losses (or set "
+                        "StarGANv2Config.allow_degraded_losses) to proceed.")
+                self._warn_once("cyc_masks", msg)
             masks_fake = batch.get("masks_fake", masks)
         s_org = style("src", False, x_override=x_real) if adain \
             else batch["s_src"]

@@ -241,10 +241,11 @@ class MAETrainer:
                  ckpt_dir=Path("./ckpt"), log_dir=Path("./logs"),
                  iters_per_epoch=1000, num_epochs=200,
                  continue_training=False, save_latest_freq=300,
-                 save_ckpt_freq=4, save_img_freq=1, seed=123):
+                 save_ckpt_freq=4, save_img_freq=1, seed=123, mesh=None):
         from de_i2i_gan_tpu.train.mae_steps import MAESteps
         self.cfg, self.mcfg, self.tcfg = cfg, mcfg, tcfg
         self.name = name
+        self.mesh = mesh
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
         self.save_latest_freq = save_latest_freq
@@ -255,6 +256,22 @@ class MAETrainer:
         self.num_epochs = num_epochs
         self.steps = MAESteps(cfg, mcfg, tcfg, iters_per_epoch, num_epochs)
         self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self._batch_sharding = None
+        if mesh is not None:
+            # same mesh contract as DefectGanTrainer: (num_critics, B, ...)
+            # super-batches sharded on axis 1, state replicated, GSPMD
+            # gradient all-reduce over ICI
+            from de_i2i_gan_tpu.parallel.mesh import (
+                batch_sharding, make_parallel_step)
+            n_local = int(mesh.devices.size) // jax.process_count()
+            assert tcfg.batch_size % n_local == 0, (
+                f"per-host batch_size {tcfg.batch_size} not divisible by "
+                f"{n_local} local mesh devices")
+            self._batch_sharding = batch_sharding(mesh, batch_axis=1)
+            self._step = make_parallel_step(self.steps.super_step, mesh,
+                                            batch_axis=1)
+        else:
+            self._step = self.steps.jit_super_step
         self.first_epoch, self.iters = 1, 0
         if continue_training and latest_exists(self.ckpt_dir, name):
             self.state = load_checkpoint(self.ckpt_dir, name, "latest",
@@ -270,15 +287,20 @@ class MAETrainer:
         except ImportError:
             tqdm = None
         nc = self.tcfg.num_critics
+        if self.mesh is not None:
+            from de_i2i_gan_tpu.parallel.mesh import put_replicated
+            self.state = put_replicated(self.state, self.mesh)
         for epoch in range(self.first_epoch, self.num_epochs + 1):
             sums, counts = defaultdict(float), defaultdict(int)
-            it = iter(fusion_loader)
+            from de_i2i_gan_tpu.data.pipeline import device_prefetch
+            it = device_prefetch(fusion_loader,
+                                 sharding=self._batch_sharding)
             bar = tqdm(it, total=len(fusion_loader), colour="MAGENTA",
                        desc=f"MAE [{epoch}/{self.num_epochs}]") \
                 if (progress and tqdm) else it
             for super_batch in bar:
                 self._rng, key = jax.random.split(self._rng)
-                self.state, metrics = self.steps.jit_super_step(
+                self.state, metrics = self._step(
                     self.state, super_batch, key)
                 self.iters += nc
                 for k, v in metrics.items():
@@ -473,10 +495,12 @@ class WGanTrainer:
     def __init__(self, cfg, tcfg, *, name="wgan_exp", ckpt_dir=Path("./ckpt"),
                  log_dir=Path("./logs"), iters_per_epoch=1000,
                  num_epochs=120, continue_training=False,
-                 save_latest_freq=1000, save_ckpt_freq=4, seed=123):
+                 save_latest_freq=1000, save_ckpt_freq=4, seed=123,
+                 mesh=None):
         from de_i2i_gan_tpu.train.wgan_steps import WGanSteps
         self.cfg, self.tcfg = cfg, tcfg
         self.name = name
+        self.mesh = mesh
         self.ckpt_dir = Path(ckpt_dir)
         self.log_dir = Path(log_dir) / name if log_dir else None
         self.save_latest_freq = save_latest_freq
@@ -484,6 +508,21 @@ class WGanTrainer:
         self.num_epochs = num_epochs
         self.steps = WGanSteps(cfg, tcfg, iters_per_epoch, num_epochs)
         self.state = self.steps.init_state(jax.random.PRNGKey(seed))
+        self._batch_sharding = None
+        if mesh is not None:
+            # (num_critics, B, ...) super-batches sharded on axis 1, state
+            # replicated (same contract as DefectGanTrainer)
+            from de_i2i_gan_tpu.parallel.mesh import (
+                batch_sharding, make_parallel_step)
+            n_local = int(mesh.devices.size) // jax.process_count()
+            assert tcfg.batch_size % n_local == 0, (
+                f"per-host batch_size {tcfg.batch_size} not divisible by "
+                f"{n_local} local mesh devices")
+            self._batch_sharding = batch_sharding(mesh, batch_axis=1)
+            self._step = make_parallel_step(self.steps.super_step, mesh,
+                                            batch_axis=1)
+        else:
+            self._step = self.steps.jit_super_step
         self.first_epoch, self.iters = 1, 0
         if continue_training and latest_exists(self.ckpt_dir, name):
             self.state = load_checkpoint(self.ckpt_dir, name, "latest",
@@ -497,11 +536,16 @@ class WGanTrainer:
     def train(self, loader, progress: bool = True):
         writer = TBWriter(self.log_dir)
         nc = self.cfg.num_critics
+        if self.mesh is not None:
+            from de_i2i_gan_tpu.parallel.mesh import put_replicated
+            self.state = put_replicated(self.state, self.mesh)
         for epoch in range(self.first_epoch, self.num_epochs + 1):
             sums, counts = defaultdict(float), defaultdict(int)
-            for super_batch in loader:
+            from de_i2i_gan_tpu.data.pipeline import device_prefetch
+            for super_batch in device_prefetch(
+                    loader, sharding=self._batch_sharding):
                 self._rng, key = jax.random.split(self._rng)
-                self.state, metrics = self.steps.jit_super_step(
+                self.state, metrics = self._step(
                     self.state, super_batch, key)
                 self.iters += nc
                 for k, v in metrics.items():

@@ -114,6 +114,113 @@ def debug_image(solver, state, inputs, step: int, sample_dir: Path,
     Image.fromarray(arr).save(sample_dir / f"{step:06d}_cycle.png")
 
 
+def _get_alphas(start: float = -5, end: float = 5, step: float = 0.5,
+                len_tail: int = 10) -> List[float]:
+    """Sigmoid-eased interpolation schedule + hold (utils.py:342-351)."""
+    ease = [float(1.0 / (1.0 + np.exp(-x)))
+            for x in np.arange(start, end, step)]
+    return [0.0] + ease + [1.0] * len_tail
+
+
+def _slide(x_prev: np.ndarray, x_next: np.ndarray, alphas,
+           margin: int = 32) -> np.ndarray:
+    """Sliding reference window (utils.py:369-390): the next reference
+    scrolls up over the previous one as alpha goes 0 -> 1. HWC in [-1,1]."""
+    h, w, c = x_prev.shape
+    merged = np.concatenate([x_prev, x_next], axis=0)  # (2H, W, C)
+    canvas = -np.ones((len(alphas), 2 * h, w + margin, c), np.float32)
+    for t, alpha in enumerate(alphas):
+        top = int(h * (1 - alpha))
+        canvas[t, top:2 * h, :w] = merged[:2 * h - top]
+    return canvas
+
+
+def video_ref(solver, state, x_src, x_ref, y_ref, out_path: Path,
+              s_ref=None, fps: int = 30, seed: int = 0) -> Optional[Path]:
+    """Reference-guided interpolation video (utils.py:394-419 ``video_ref``):
+    walk consecutive SAME-domain reference images, blending their styles
+    with the sigmoid-eased alphas of ``get_alphas`` (utils.py:354-366
+    ``interpolate``); every frame is [sliding ref panel | src row over fake
+    row] (``slide``, utils.py:369-390), and the final frame holds 10x.
+
+    adain: per-reference style codes from the EMA style encoder, lerped.
+    sean: pass ``s_ref`` (N_ref, E, embed) stacks; blending uses the SEAN
+    ``mix_alpha`` multi-reference weighting, like the reference's
+    ``nets.generator.module.mix_alpha`` (utils.py:359-361).
+
+    Assembles an mp4 when the ffmpeg binary exists; otherwise writes the
+    frames and returns the frame directory.
+    """
+    from PIL import Image
+    alphas = _get_alphas()
+    n = x_src.shape[0]
+    x_src = jnp.asarray(x_src)
+    x_ref_np = np.asarray(x_ref)
+    if solver.cfg.norm_type == "adain":
+        styles = solver.S.apply({"params": state.ema_S},
+                                jnp.asarray(x_ref), jnp.asarray(y_ref))
+    else:
+        assert s_ref is not None, "sean video_ref needs s_ref embed stacks"
+        styles = jnp.asarray(s_ref)
+
+    frames_dir = Path(tempfile.mkdtemp(prefix="dig_video_ref_"))
+    fidx = 0
+
+    def _write(frame: np.ndarray):
+        nonlocal fidx
+        arr = np.clip((frame + 1) * 127.5, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(frames_dir / f"{fidx:05d}.png")
+        fidx += 1
+
+    last = None
+    prev = None
+    for i in range(x_ref_np.shape[0]):
+        # transitions only between same-domain consecutive refs
+        # (utils.py:402-407)
+        if prev is None or int(y_ref[i]) != int(y_ref[prev]):
+            prev = i
+            continue
+        slided = _slide(x_ref_np[prev], x_ref_np[i], alphas)
+        y = jnp.full((n,), int(y_ref[i]), jnp.int32)
+        for t, a in enumerate(alphas):
+            if solver.cfg.norm_type == "adain":
+                s = (1.0 - a) * styles[prev] + a * styles[i]
+                s = jnp.broadcast_to(s[None], (n, styles.shape[-1]))
+                fake = solver.jit_generate(state, x_src, s, y)
+            else:
+                pair = jnp.concatenate([styles[prev], styles[i]],
+                                       axis=0)[None]  # (1, 2E, embed)
+                flat = jnp.broadcast_to(pair, (n,) + pair.shape[1:])
+                w2 = jnp.asarray([1.0 - a, a], jnp.float32)
+                mix = jnp.repeat(jnp.broadcast_to(w2[None], (n, 2)),
+                                 styles.shape[1], axis=1)
+                fake = solver.jit_generate(state, x_src, flat, y,
+                                           mix_alpha=mix)
+            # [src over fake] per sample, arranged horizontally
+            entries = np.concatenate([np.asarray(x_src), np.asarray(fake)],
+                                     axis=1)  # (n, 2H, W, C)
+            row = np.concatenate(list(entries), axis=1)  # (2H, n*W, C)
+            last = np.concatenate([slided[t], row], axis=1)
+            _write(last)
+        prev = i
+    if last is None:
+        print("[video_ref] no same-domain consecutive reference pair; "
+              "nothing to render")
+        return None
+    for _ in range(10):  # hold the last frame (utils.py:414-415)
+        _write(last)
+    if shutil.which("ffmpeg"):
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+             str(frames_dir / "%05d.png"), "-pix_fmt", "yuv420p",
+             str(out_path)], check=True, capture_output=True)
+        return out_path
+    print(f"[video_ref] ffmpeg not found; frames at {frames_dir}")
+    return frames_dir
+
+
 def video_latent_walk(solver, state, x_src, y_trg, latent_dim: int,
                       out_path: Path, num_frames: int = 60,
                       fps: int = 15, seed: int = 0) -> Optional[Path]:

@@ -31,7 +31,8 @@ os.environ["XLA_FLAGS"] = " ".join(flags)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+from de_i2i_gan_tpu import default_cache_dir
+jax.config.update("jax_compilation_cache_dir", default_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -48,7 +49,8 @@ def main(norm_type: str) -> None:
     cfg = StarGANv2Config(img_size=64, num_domains=3, style_dim=8,
                           latent_dim=4, hidden_nc=16, embed_nc=12,
                           w_hpf=0.0, max_conv_dim=64, batch_size=2,
-                          ds_iter=10, total_iters=10, norm_type=norm_type)
+                          ds_iter=10, total_iters=10, norm_type=norm_type,
+                          allow_degraded_losses=True)
     solver = StarGANv2Solver(cfg)
     state = jax.jit(solver.init_state)(jax.random.PRNGKey(0))
     k = jax.random.PRNGKey(1)

@@ -24,7 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: recompiling identical test programs dominates
 # wall time on small hosts. Must go through jax.config.update — env vars set
 # after `import jax` are never re-read (jax snapshots its config at import).
-jax.config.update("jax_compilation_cache_dir", "/tmp/de_i2i_jax_cache")
+from de_i2i_gan_tpu import default_cache_dir
+jax.config.update("jax_compilation_cache_dir", default_cache_dir())
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 

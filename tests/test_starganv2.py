@@ -14,7 +14,8 @@ KEY = jax.random.PRNGKey(0)
 # reduced max_conv_dim via config
 CFG = StarGANv2Config(img_size=64, num_domains=3, style_dim=8, latent_dim=4,
                       hidden_nc=16, embed_nc=12, w_hpf=0.0, max_conv_dim=64,
-                      batch_size=2, ds_iter=10, total_iters=10)
+                      batch_size=2, ds_iter=10, total_iters=10,
+                      allow_degraded_losses=True)
 
 
 def _batch(latent=True, sean=False):

@@ -102,7 +102,10 @@ def test_starganv2_cli_sean_train_and_update_stats(tmp_path):
     train_dir = _image_tree(tmp_path / "train")
     val_dir = _image_tree(tmp_path / "val")
     ckpt = tmp_path / "ckpt"
-    sean = [t for t in TINY] + ["--norm_type", "sean"]
+    # no --vit_path in the smoke: lambda_sty is inactive, which is now a
+    # hard error unless explicitly allowed (VERDICT-r3 weak #6)
+    sean = [t for t in TINY] + ["--norm_type", "sean",
+                                "--allow_degraded_losses"]
     common = ["--train_img_dir", str(train_dir), "--val_img_dir",
               str(val_dir), "--checkpoint_dir", str(ckpt),
               "--sample_dir", str(tmp_path / "samples"),

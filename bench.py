@@ -556,10 +556,13 @@ def _run_suite(on_tpu: bool):
         _mark("pix2pix_64_fusedprop")
         inf = bench_infer(64, 2, on_tpu=False, n_iters=2, n_reps=2)
         _mark("infer_64")
-        sgv2_adain = bench_sgv2("adain", on_tpu=False, n_iters=2, n_reps=2)
-        _mark("sgv2_adain")
-        sgv2_sean = bench_sgv2("sean", on_tpu=False, n_iters=2, n_reps=2)
-        _mark("sgv2_sean")
+        # sgv2 is intentionally SKIPPED on the CPU smoke path: its train_step
+        # is the repo's largest program and compiles >12 min on a 1-core CPU
+        # host even at --xla_backend_optimization_level=0 (measured round 4);
+        # the fallback artifact must land fast. The sgv2 step's structure is
+        # covered by tests (test_starganv2.py, _parallel_sgv2_worker.py).
+        sgv2_adain = {"img_per_sec": None, "skipped": "cpu-smoke"}
+        sgv2_sean = {"img_per_sec": None, "skipped": "cpu-smoke"}
         p2p_fed = bench_pix2pix_loader_fed(
             64, 2, ipl=2, on_tpu=False, n_iters=2,
             preloaded_img_s=p2p["img_per_sec"])
@@ -590,8 +593,10 @@ def _run_suite(on_tpu: bool):
             # primary metric stays the reference-faithful alternating step.
             "pix2pix_256_fusedprop": {
                 **p2p_fp,
-                "vs_baseline": round(p2p_fp["img_per_sec"] / REF_P2P_A100,
-                                     2),
+                # CPU-smoke img/s is not comparable to the A100 baseline
+                "vs_baseline": (round(
+                    p2p_fp["img_per_sec"] / REF_P2P_A100, 2)
+                    if on_tpu else None),
             },
             "pix2pix_512_multiscaleD": p2p_hd,
             "defectgan_256": {
@@ -605,8 +610,9 @@ def _run_suite(on_tpu: bool):
             "defectgan_256_loader_fed": dg_fed,
             "starganv2_256_adain": {
                 **sgv2_adain,
-                "vs_sgv2_v100": round(
-                    sgv2_adain["img_per_sec"] / REF_SGV2_V100, 2),
+                "vs_sgv2_v100": (round(
+                    sgv2_adain["img_per_sec"] / REF_SGV2_V100, 2)
+                    if sgv2_adain.get("img_per_sec") else None),
             },
             "starganv2_256_sean": sgv2_sean,
             "baselines": {

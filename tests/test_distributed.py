@@ -14,6 +14,10 @@ from pathlib import Path
 
 import pytest
 
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
+
 WORKER = Path(__file__).parent / "_distributed_worker.py"
 REPO = Path(__file__).parent.parent
 

@@ -182,3 +182,42 @@ def test_native_super_batch_loader(tmp_path):
     assert b["labels"].shape == (2, 2, 6)
     assert b["imgs"].ctypes.data != batches[1]["imgs"].ctypes.data
     loader.close()
+
+
+def test_cache_fingerprint_rebuild(tmp_path):
+    """A cache built for one dataset must not be silently reused for a
+    different one (same --name, different --load_size/dataset): the
+    meta.json fingerprint forces a rebuild (ADVICE r3)."""
+    from de_i2i_gan_tpu.runtime.native_loader import build_cache
+
+    ds16 = SyntheticDefectDataset(image_size=16, label_nc=6, length=8)
+    c1, _ = build_cache(ds16, tmp_path)
+    size16 = c1.stat().st_size
+    ds24 = SyntheticDefectDataset(image_size=24, label_nc=6, length=8)
+    c2, _ = build_cache(ds24, tmp_path)
+    assert c2.stat().st_size != size16, "stale cache reused across datasets"
+    # identical dataset -> reused without rebuilding
+    mtime = c2.stat().st_mtime_ns
+    build_cache(ds24, tmp_path)
+    assert c2.stat().st_mtime_ns == mtime
+
+
+def test_build_cache_explicit_value_range(tmp_path):
+    """A bright [-1,1] image whose min is >= -0.01 is misclassified by the
+    range heuristic; an explicit value_range stores it correctly."""
+    from de_i2i_gan_tpu.runtime.native_loader import build_cache
+
+    class Bright:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            img = np.full((8, 8, 3), 0.5, np.float32)  # [-1,1]-coded grey
+            return img, np.ones(2, np.float32), "x"
+
+    c, _ = build_cache(Bright(), tmp_path / "auto")  # heuristic: reads as [0,1]
+    wrong = np.frombuffer(c.read_bytes(), np.uint8)[0]
+    c2, _ = build_cache(Bright(), tmp_path / "pm1", value_range="pm1")
+    right = np.frombuffer(c2.read_bytes(), np.uint8)[0]
+    assert right == 191  # (0.5+1)/2*255
+    assert wrong == 127  # the heuristic's misread (0.5*255 truncated)

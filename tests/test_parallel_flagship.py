@@ -14,6 +14,10 @@ import numpy as np
 import pytest
 
 from de_i2i_gan_tpu.parallel.mesh import (
+
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
     batch_sharding, make_mesh, make_parallel_step, replicate)
 
 

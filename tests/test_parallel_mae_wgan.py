@@ -9,6 +9,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from de_i2i_gan_tpu.parallel.mesh import make_mesh, replicate
+import pytest
+
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
 
 
 def _run_both(steps, state, batch, key):

@@ -149,3 +149,17 @@ def test_solver_train_step(norm_type):
                               else jax.random.normal(KEY, (2, 8)),
                               batch["y_ref"])
     assert img.shape == (2, 64, 64, 3)
+
+
+def test_sean_inactive_sty_loss_is_hard_error():
+    """sean without frozen-ViT embedding of x_fake would silently zero the
+    lambda_sty term; strict-by-default this is a trace-time ValueError
+    unless allow_degraded_losses (VERDICT-r3 weak #6)."""
+    cfg = StarGANv2Config(**{**CFG.__dict__, "norm_type": "sean",
+                             "num_embeds": 5,
+                             "allow_degraded_losses": False})
+    solver = StarGANv2Solver(cfg)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="lambda_sty"):
+        solver.jit_train_step(state, _batch(latent=False, sean=True),
+                              jax.random.PRNGKey(7))

@@ -10,6 +10,10 @@ import pytest
 pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
 
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
+
 TINY = ["--img_size", "32", "--num_domains", "2", "--latent_dim", "4",
         "--hidden_dim", "32", "--hidden_nc", "16", "--style_dim", "8",
         "--embed_nc", "12", "--max_conv_dim", "32", "--w_hpf", "0",

@@ -2,6 +2,11 @@
 from pathlib import Path
 
 from de_i2i_gan_tpu.cli.sweep import _filter, _known_flags, build_commands
+import pytest
+
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
 
 
 def test_filter_drops_unknown_flags_and_values():

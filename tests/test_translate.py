@@ -49,3 +49,38 @@ def test_translate_rows():
     assert np.isfinite(g1).all()
     g2 = translate_using_reference(solver, state, x_src, x_ref, y_ref)
     assert np.isfinite(g2).all()
+
+
+def test_video_ref_frames(tmp_path):
+    """video_ref port (core/utils.py:394-419): same-domain consecutive refs
+    produce eased interpolation frames; without ffmpeg it returns the frame
+    dir (the gated fallback)."""
+    from de_i2i_gan_tpu.utils import translate as tr
+
+    solver, state, x_src, y_src, _, _ = _setup()
+    # two same-domain refs so one transition exists
+    x_ref = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3),
+                               minval=-1, maxval=1)
+    y_ref = np.asarray([1, 1], np.int64)
+    out = tr.video_ref(solver, state, x_src[:1], x_ref, y_ref,
+                       tmp_path / "video_ref.mp4")
+    assert out is not None
+    if out.suffix == ".mp4":
+        assert out.stat().st_size > 0
+    else:  # ffmpeg absent: frame-dir fallback
+        frames = sorted(out.glob("*.png"))
+        # len(get_alphas()) per transition + 10 hold frames
+        assert len(frames) == len(tr._get_alphas()) + 10
+        from PIL import Image
+        arr = np.asarray(Image.open(frames[0]))
+        # [sliding ref panel | src over fake]: 2H tall, W+margin+n*W wide
+        assert arr.shape[0] == 128 and arr.shape[1] == 64 + 32 + 64
+
+
+def test_video_ref_skips_cross_domain(tmp_path):
+    solver, state, x_src, _, x_ref, _ = _setup()
+    y_ref = np.asarray([0, 1], np.int64)  # no same-domain pair
+    out = __import__("de_i2i_gan_tpu.utils.translate",
+                     fromlist=["video_ref"]).video_ref(
+        solver, state, x_src[:1], x_ref, y_ref, tmp_path / "v.mp4")
+    assert out is None

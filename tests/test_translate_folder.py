@@ -10,6 +10,10 @@ import pytest
 pytest.importorskip("PIL")
 from PIL import Image  # noqa: E402
 
+# long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
+# deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
+pytestmark = pytest.mark.slow
+
 TINY = ["--ngf", "8", "--ndf", "8", "--num_scales", "2", "--num_res", "2",
         "--hidden_nc", "16", "--num_layers", "2", "--label_nc", "4"]
 

@@ -209,10 +209,10 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
 
+    cfg_overrides.setdefault("fused_g_forward", True)
     cfg = DefectGanConfig(
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        fused_g_forward=True,
         **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)),
         **cfg_overrides)
     tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))

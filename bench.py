@@ -601,7 +601,9 @@ def _run_suite(on_tpu: bool):
             "pix2pix_512_multiscaleD": p2p_hd,
             "defectgan_256": {
                 **dg,
-                "vs_sgv2_v100": round(dg["img_per_sec"] / REF_SGV2_V100, 2),
+                # CPU-smoke img/s is not comparable to the V100 baseline
+                "vs_sgv2_v100": (round(dg["img_per_sec"] / REF_SGV2_V100, 2)
+                                 if on_tpu else None),
             },
             "generator_infer_1024": inf,
             # loader-fed: same steps, C++ loaders + device_prefetch.

@@ -38,13 +38,20 @@ def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache") -> str:
     import hashlib
 
     try:
-        flags = ""
+        # flags alone are not enough: XLA's AOT machine features include
+        # LLVM tuning bits derived from the CPU *model* (+prefer-no-gather
+        # on some parts) that two hosts with identical flag sets can still
+        # disagree on — seen live as cpu_aot_loader "machine type doesn't
+        # match" on every load. Hash model name + stepping + flags.
+        keys = ("model name", "model\t", "stepping", "flags")
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = line
-                    break
-        fp = hashlib.sha256(flags.encode()).hexdigest()[:8]
+                if line.startswith(keys):
+                    lines.append(line)
+                if line == "\n" and lines:
+                    break  # first core only; all cores are identical
+        fp = hashlib.sha256("".join(lines).encode()).hexdigest()[:8]
     except OSError:
         fp = "nofp"
     return f"{base}_{fp}"

@@ -69,12 +69,8 @@ def main(argv=None):
     results_dir = Path(opt.results_dir) / name
     results_dir.mkdir(parents=True, exist_ok=True)
 
-    def generate(bg_imgs, labels):
-        feat = None
-        if cfg.style_norm_block_type == "sean":
-            feat = jnp.zeros((bg_imgs.shape[0], cfg.num_embeds, cfg.embed_nc))
-        out, _ = steps.jit_generate(state, bg_imgs, labels, feat)
-        return out
+    from de_i2i_gan_tpu.metrics.evaluator import defectgan_generator_fn
+    generate = defectgan_generator_fn(steps, cfg, state)
 
     if opt.metrics:
         from de_i2i_gan_tpu.metrics.evaluator import Evaluator

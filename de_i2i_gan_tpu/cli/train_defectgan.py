@@ -126,11 +126,10 @@ def main(argv=None):
     if opt.val_metrics:
         import json as _json
 
-        import jax.numpy as jnp
-
         from de_i2i_gan_tpu.data.pipeline import InfiniteLoader
         from de_i2i_gan_tpu.data.transforms import EvalTransform
-        from de_i2i_gan_tpu.metrics.evaluator import Evaluator
+        from de_i2i_gan_tpu.metrics.evaluator import (
+            Evaluator, defectgan_generator_fn)
 
         val_sets, _ = build_datasets(opt, "val",
                                      EvalTransform(opt.image_size))
@@ -142,19 +141,10 @@ def main(argv=None):
         ev = Evaluator(dims=opt.dims)
         steps = trainer.steps
 
-        def _generate(state):
-            def fn(bg_imgs, labels):
-                feat = None
-                if cfg.style_norm_block_type == "sean":
-                    feat = jnp.zeros((bg_imgs.shape[0], cfg.num_embeds,
-                                      cfg.embed_nc))
-                out, _ = steps.jit_generate(state, bg_imgs, labels, feat)
-                return out
-            return fn
-
         def val_fn(state, epoch):
             out = ev.evaluate_generator(
-                _generate(state), val_bg, val_df, num_imgs=opt.num_imgs,
+                defectgan_generator_fn(steps, cfg, state),
+                val_bg, val_df, num_imgs=opt.num_imgs,
                 npz_path=Path(opt.npz_path) if opt.npz_path else None,
                 metrics=tuple(opt.val_metrics),
                 num_lpips_images=opt.num_lpips_images)

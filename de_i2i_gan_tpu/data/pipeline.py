@@ -73,15 +73,30 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded-timeout put so the producer notices an abandoned
+            # consumer (generator closed/GC'd after a partial read, e.g. a
+            # single next() for a fixed val batch) instead of blocking in
+            # put() forever and leaking the thread + pinned batches
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in range(nb):
                     if stop.is_set():
                         return
                     chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    out_q.put(_collate([self.dataset[int(i)] for i in chunk]))
+                    if not _put(_collate([self.dataset[int(i)]
+                                          for i in chunk])):
+                        return
             finally:
-                out_q.put(None)
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -118,3 +118,22 @@ class Evaluator:
             stats.update(np.asarray(feats, np.float32))
             seen += imgs.shape[0]
         return stats
+
+
+def defectgan_generator_fn(steps, cfg, state) -> Callable:
+    """Translation closure over a DefectGAN train state for
+    ``Evaluator.evaluate_generator`` — background images + one-hot labels ->
+    generated defects via the jitted compositional forward, with the
+    sean-mode zero style-feature stub (no reference embeds at eval time;
+    defectgan_model.py:437-445 evaluates with the running SEAN stats the
+    same way). Shared by ``cli/test_defectgan.py`` and the in-training
+    ``--val_metrics`` path of ``cli/train_defectgan.py``.
+    """
+    def fn(bg_imgs, labels):
+        feat = None
+        if cfg.style_norm_block_type == "sean":
+            feat = jnp.zeros((bg_imgs.shape[0], cfg.num_embeds,
+                              cfg.embed_nc))
+        out, _ = steps.jit_generate(state, bg_imgs, labels, feat)
+        return out
+    return fn

@@ -135,6 +135,24 @@ def _slide(x_prev: np.ndarray, x_next: np.ndarray, alphas,
     return canvas
 
 
+def _assemble_video(frames_dir: Path, pattern: str, out_path: Path,
+                    fps: int, tag: str) -> Path:
+    """Encode the rendered frame sequence to mp4 when the ffmpeg binary
+    exists (removing the temp frames dir on success); otherwise leave the
+    frames on disk and return their directory."""
+    if shutil.which("ffmpeg"):
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+             str(frames_dir / pattern), "-pix_fmt", "yuv420p",
+             str(out_path)], check=True, capture_output=True)
+        shutil.rmtree(frames_dir, ignore_errors=True)
+        return out_path
+    print(f"[{tag}] ffmpeg not found; frames at {frames_dir}")
+    return frames_dir
+
+
 def video_ref(solver, state, x_src, x_ref, y_ref, out_path: Path,
               s_ref=None, fps: int = 30, seed: int = 0) -> Optional[Path]:
     """Reference-guided interpolation video (utils.py:394-419 ``video_ref``):
@@ -209,16 +227,8 @@ def video_ref(solver, state, x_src, x_ref, y_ref, out_path: Path,
         return None
     for _ in range(10):  # hold the last frame (utils.py:414-415)
         _write(last)
-    if shutil.which("ffmpeg"):
-        out_path = Path(out_path)
-        out_path.parent.mkdir(parents=True, exist_ok=True)
-        subprocess.run(
-            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
-             str(frames_dir / "%05d.png"), "-pix_fmt", "yuv420p",
-             str(out_path)], check=True, capture_output=True)
-        return out_path
-    print(f"[video_ref] ffmpeg not found; frames at {frames_dir}")
-    return frames_dir
+    return _assemble_video(frames_dir, "%05d.png", out_path, fps,
+                           tag="video_ref")
 
 
 def video_latent_walk(solver, state, x_src, y_trg, latent_dim: int,
@@ -241,12 +251,5 @@ def video_latent_walk(solver, state, x_src, y_trg, latent_dim: int,
         grid = make_grid(out, nrow=n)
         Image.fromarray(np.clip(grid * 255, 0, 255).astype(np.uint8)).save(
             frames_dir / f"{f:04d}.png")
-    if shutil.which("ffmpeg"):
-        out_path = Path(out_path)
-        subprocess.run(
-            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
-             str(frames_dir / "%04d.png"), "-pix_fmt", "yuv420p",
-             str(out_path)], check=True, capture_output=True)
-        return out_path
-    print(f"[video] ffmpeg not found; frames at {frames_dir}")
-    return frames_dir
+    return _assemble_video(frames_dir, "%04d.png", out_path, fps,
+                           tag="video")

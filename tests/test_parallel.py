@@ -6,11 +6,11 @@ import numpy as np
 import pytest
 
 from de_i2i_gan_tpu.parallel.mesh import (
+    make_mesh, make_parallel_step, replicate, shard_batch)
 
 # long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
 # deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
 pytestmark = pytest.mark.slow
-    make_mesh, make_parallel_step, replicate, shard_batch)
 
 
 def test_mesh_has_8_devices():

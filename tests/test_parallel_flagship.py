@@ -14,11 +14,11 @@ import numpy as np
 import pytest
 
 from de_i2i_gan_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, make_parallel_step, replicate)
 
 # long-compile module (sgv2 programs / mesh GSPMD / subprocess workers);
 # deselect with -m 'not slow' (pyproject [tool.pytest.ini_options].markers)
 pytestmark = pytest.mark.slow
-    batch_sharding, make_mesh, make_parallel_step, replicate)
 
 
 def _assert_tree_close(a, b, rtol, atol, msg=""):

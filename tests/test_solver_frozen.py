@@ -1,6 +1,8 @@
 """Sean-mode frozen-net integration: in-graph ViT style-reconstruction loss
 (the reference's s_pred = feature_extractor(x_fake), solver.py:515) and the
 update_stats EMA tracking sweep (solver.py:379-406)."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,8 +39,12 @@ def test_sean_sty_loss_active_with_frozen_vit():
     state = solver.init_state(jax.random.PRNGKey(0))
     batch = _sean_batch()
 
-    # without the frozen ViT the sty term is inactive (warn-once fallback)
-    _, m0 = solver.train_step(state, batch, jax.random.PRNGKey(2))
+    # without the frozen ViT the sty term is inactive; since round 4 that
+    # config is a hard error unless explicitly allowed
+    # (test_starganv2.py covers the ValueError itself)
+    degraded = StarGANv2Solver(dataclasses.replace(
+        CFG, allow_degraded_losses=True))
+    _, m0 = degraded.train_step(state, batch, jax.random.PRNGKey(2))
     assert float(m0["G/ref_sty"]) == 0.0
 
     vit, variables = _tiny_vit()

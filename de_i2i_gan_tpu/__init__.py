@@ -25,7 +25,8 @@ Reference layout map (file:line cites in docstrings point into /root/reference):
 __version__ = "0.1.0"
 
 
-def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache") -> str:
+def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache",
+                      platform: str | None = None) -> str:
     """Host-fingerprinted compile-cache path.
 
     XLA:CPU cache entries are AOT executables specialized to the compiling
@@ -34,15 +35,21 @@ def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache") -> str:
     machine-feature mismatch and silently recompiles without re-storing —
     i.e. a poisoned cache that is strictly slower than no cache. Suffixing
     the dir with a CPU-feature fingerprint gives each host its own cache.
+
+    For the CPU backend the fingerprint is additionally boot-scoped:
+    measured live, two hosts with IDENTICAL /proc/cpuinfo (model, stepping,
+    flags) still disagreed on LLVM-derived AOT machine features
+    (+prefer-no-scatter/+prefer-no-gather), so no cpuinfo hash can separate
+    them — a boot_id suffix trades one recompile per boot (cheap on CPU)
+    for never inheriting a poisoned CPU cache. TPU entries are serialized
+    device executables, not host-AOT code, so the TPU dir stays boot-stable
+    and 30-min tunnel compiles survive snapshots. ``platform`` defaults to
+    the jax_platforms config (set by every CPU-forcing caller before this
+    runs); pass it explicitly to avoid importing jax.
     """
     import hashlib
 
     try:
-        # flags alone are not enough: XLA's AOT machine features include
-        # LLVM tuning bits derived from the CPU *model* (+prefer-no-gather
-        # on some parts) that two hosts with identical flag sets can still
-        # disagree on — seen live as cpu_aot_loader "machine type doesn't
-        # match" on every load. Hash model name + stepping + flags.
         keys = ("model name", "model\t", "stepping", "flags")
         lines = []
         with open("/proc/cpuinfo") as f:
@@ -54,6 +61,20 @@ def default_cache_dir(base: str = "/tmp/de_i2i_jax_cache") -> str:
         fp = hashlib.sha256("".join(lines).encode()).hexdigest()[:8]
     except OSError:
         fp = "nofp"
+    if platform is None:
+        try:
+            import jax
+
+            platform = (jax.config.jax_platforms or "").split(",")[0] or None
+        except Exception:
+            platform = None
+    if platform == "cpu":
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                boot = f.read().strip().replace("-", "")[:8]
+        except OSError:
+            boot = "noboot"
+        return f"{base}_{fp}_cpu{boot}"
     return f"{base}_{fp}"
 
 

@@ -121,3 +121,18 @@ def test_enable_compile_cache_sets_jax_config(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path)
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_default_cache_dir_cpu_is_boot_scoped():
+    """CPU-backend cache dirs are boot-scoped (identical /proc/cpuinfo hosts
+    measured disagreeing on LLVM AOT machine features — a snapshot-inherited
+    CPU cache poisons every load); the TPU dir stays boot-stable so
+    expensive tunnel compiles survive."""
+    from de_i2i_gan_tpu import default_cache_dir
+
+    tpu_dir = default_cache_dir(platform="tpu")
+    cpu_dir = default_cache_dir(platform="cpu")
+    assert cpu_dir.startswith(tpu_dir + "_cpu")
+    assert cpu_dir != tpu_dir
+    # conftest forces jax_platforms=cpu, so auto-detection must pick cpu
+    assert default_cache_dir() == cpu_dir

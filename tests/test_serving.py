@@ -142,3 +142,35 @@ def test_export_cli_smoke(tmp_path):
     assert (tmp_path / "generator.hlo").exists()
     assert (tmp_path / "style_encoder.hlo").exists()
     assert (tmp_path / "mapping.hlo").exists()
+
+
+@pytest.mark.slow
+def test_exported_artifact_serves_sharded(tmp_path):
+    """Multi-chip serving: a deserialized artifact's ``.call`` is an
+    ordinary jittable function, so the serving side can jit it over a DP
+    mesh with a batch-sharded input — GSPMD partitions the baked-weight
+    program like any other. Needs the 8-virtual-device CPU backend
+    (tests/conftest.py XLA_FLAGS)."""
+    from de_i2i_gan_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU backend")
+    solver = StarGANv2Solver(SG_CFG)
+    state = jax.jit(solver.init_state)(jax.random.PRNGKey(0))
+    g = load_exported(save_exported(
+        export_sgv2_generator(solver, state), tmp_path / "g.hlo"))
+
+    mesh = make_mesh()
+    n = len(mesh.devices.ravel())
+    b = 2 * n
+    x = jax.random.uniform(jax.random.PRNGKey(1), (b, 32, 32, 3),
+                           minval=-1, maxval=1)
+    y = jnp.arange(b, dtype=jnp.int32) % 3
+    s = jax.random.normal(jax.random.PRNGKey(2), (b, 8))
+    with mesh:
+        sh = batch_sharding(mesh)
+        sharded = jax.jit(g.call, in_shardings=(sh, sh, sh),
+                          out_shardings=sh)(x, s, y)
+    want = solver.generate(state, x, s, y)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(want),
+                               atol=5e-5)

@@ -205,7 +205,7 @@ def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
 
 
 def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
-                    n_reps: int = 3, **cfg_overrides):
+                    n_reps: int = 3, phases: bool = True, **cfg_overrides):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
 
@@ -260,9 +260,21 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
         "tflop_per_img": (round(flops / imgs_per_launch / 1e12, 4)
                           if flops else None),
         "flops_per_launch": flops,
-        "d_step_ms": _phase_ms(steps.d_step),
-        "g_step_ms": _phase_ms(steps.g_step),
+        # best-effort: the standalone-phase programs are extra tunnel
+        # compiles, and a dropped relay mid-compile must not void the
+        # img/s result above (observed round 4: "response body closed")
+        "d_step_ms": _try_phase_ms(_phase_ms, steps.d_step) if phases else None,
+        "g_step_ms": _try_phase_ms(_phase_ms, steps.g_step) if phases else None,
     }
+
+
+def _try_phase_ms(phase_fn, step_fn):
+    try:
+        return phase_fn(step_fn)
+    except Exception as e:  # transient tunnel/compile failure
+        print(f"[bench] phase timing skipped ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr)
+        return None
 
 
 def bench_infer(size: int, batch: int, on_tpu: bool, n_iters: int,

@@ -35,8 +35,24 @@ def main():
 
     results = {}
     for name, fused in (("fused", True), ("alt", False)):
-        r = bench.bench_defectgan(256, 8, on_tpu=True, n_iters=8,
-                                  fused_g_forward=fused)
+        # the tunnel's remote-compile can drop mid-compile ("response body
+        # closed", observed round 4); the local persistent cache keeps the
+        # finished programs, so a straight retry resumes where it died
+        last = None
+        for attempt in range(3):
+            try:
+                r = bench.bench_defectgan(256, 8, on_tpu=True, n_iters=8,
+                                          fused_g_forward=fused)
+                break
+            except Exception as e:
+                last = e
+                print(f"[ab] {name} attempt {attempt + 1} failed: "
+                      f"{type(e).__name__}: {str(e)[:120]}; retrying",
+                      file=sys.stderr)
+                import time
+                time.sleep(60)
+        else:
+            raise last
         results[name] = r
         print(f"[ab] {name}: {r['img_per_sec']} img/s "
               f"(d {r['d_step_ms']} ms, g {r['g_step_ms']} ms)")

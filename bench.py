@@ -80,23 +80,34 @@ LAST_GOOD_TPU = {
 }
 
 
-def _probe_backend(timeout_s: float = 75.0):
+def _probe_backend(timeout_s: float = 240.0):
     """Initialize the default jax backend and run one tiny jitted op in a
     SUBPROCESS. A dead tunnel relay hangs inside the PJRT C++ client where
     no in-process timeout can interrupt it (round 3: `jax.devices()` either
     raised UNAVAILABLE or hung forever), so the probe must be killable.
 
+    The probe uses the persistent compile cache and a 240 s timeout: after
+    a VM reboot wipes /tmp, even the tiny matmul is a fresh ~140 s tunnel
+    compile (measured round 5) — a 75 s uncached probe declared a HEALTHY
+    TPU dead three times in a row.
+
     Returns ("tpu"|"cpu", device_kind) on success, None on failure/hang.
     """
+    import os
     code = (
+        "from de_i2i_gan_tpu import enable_compile_cache\n"
+        "enable_compile_cache()\n"
         "import jax, jax.numpy as jnp\n"
         "d = jax.devices()[0]\n"
         "float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128))))\n"
         "print('PROBE_OK|' + d.platform + '|' + d.device_kind)\n"
     )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__)) +
+                         os.pathsep + env.get("PYTHONPATH", ""))
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
+                           capture_output=True, text=True, env=env)
     except subprocess.TimeoutExpired:
         return None
     for line in reversed(r.stdout.strip().splitlines() or []):
@@ -205,7 +216,7 @@ def bench_pix2pix(size: int, batch: int, ipl: int, on_tpu: bool,
 
 
 def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
-                    n_reps: int = 3, phases: bool = True, **cfg_overrides):
+                    n_reps: int = 3, phases: bool = False, **cfg_overrides):
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
 
@@ -253,25 +264,34 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
         float(next(iter(m.values())))
         return round((time.perf_counter() - t0) / n_iters * 1e3, 2)
 
-    return {
+    out = {
         "img_per_sec": round(float(img_s), 2),
         "img_per_sec_std": round(float(
             imgs_per_launch * n_iters * times.std() / times.mean() ** 2), 2),
         "tflop_per_img": (round(flops / imgs_per_launch / 1e12, 4)
                           if flops else None),
         "flops_per_launch": flops,
-        # best-effort: the standalone-phase programs are extra tunnel
-        # compiles, and a dropped relay mid-compile must not void the
-        # img/s result above (observed round 4: "response body closed")
-        "d_step_ms": _try_phase_ms(_phase_ms, steps.d_step) if phases else None,
-        "g_step_ms": _try_phase_ms(_phase_ms, steps.g_step) if phases else None,
+        # self-describing: which G-forward schedule this number measures
+        "fused_g_forward": bool(cfg.fused_g_forward),
     }
+    if phases:
+        # best-effort on TPU only: the standalone-phase programs are extra
+        # tunnel compiles, and a dropped relay mid-compile must not void the
+        # img/s result above (observed round 4: "response body closed"). On
+        # CPU there is no tunnel, so a failure is a real bug -> re-raise.
+        out["d_step_ms"] = _try_phase_ms(_phase_ms, steps.d_step,
+                                         reraise=not on_tpu)
+        out["g_step_ms"] = _try_phase_ms(_phase_ms, steps.g_step,
+                                         reraise=not on_tpu)
+    return out
 
 
-def _try_phase_ms(phase_fn, step_fn):
+def _try_phase_ms(phase_fn, step_fn, reraise: bool = False):
     try:
         return phase_fn(step_fn)
     except Exception as e:  # transient tunnel/compile failure
+        if reraise:
+            raise
         print(f"[bench] phase timing skipped ({type(e).__name__}: "
               f"{str(e)[:120]})", file=sys.stderr)
         return None
@@ -376,6 +396,71 @@ def bench_sgv2(norm_type: str, on_tpu: bool, n_iters: int, n_reps: int = 3):
     }
 
 
+def bench_sgv2_sean_frozen(on_tpu: bool, n_iters: int, n_reps: int = 3):
+    """StarGAN v2 sean train_step WITH the in-graph frozen-ViT style
+    reconstruction — the reference-faithful cost: the torch solver embeds
+    x_fake through the frozen feature extractor EVERY G step
+    (stargan-v2/core/solver.py:515). bench_sgv2("sean") feeds synthetic
+    precomputed s_ref stacks and therefore omits that per-iteration ViT
+    forward (its entry is labeled sty_loss:"inactive"); this one pays it,
+    with a random-init frozen ViT-B (weights don't affect throughput)."""
+    from de_i2i_gan_tpu.models.vit import ViTEncoder
+    from de_i2i_gan_tpu.train.solver import StarGANv2Config, StarGANv2Solver
+
+    size = 256 if on_tpu else 64
+    batch = 8 if on_tpu else 2
+    cfg = StarGANv2Config(
+        img_size=size, num_domains=3, w_hpf=0.0, norm_type="sean",
+        batch_size=batch,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        **({} if on_tpu else dict(hidden_nc=16, embed_nc=12, style_dim=8,
+                                  latent_dim=4, max_conv_dim=64)))
+    solver = StarGANv2Solver(cfg)
+    if on_tpu:
+        vit = ViTEncoder(model_size="base", image_size=224, dtype=cfg.dtype)
+    else:  # tiny hidden width must match embed_nc on the smoke path
+        vit = ViTEncoder(model_size="tiny", image_size=32, dtype=cfg.dtype)
+    vvars = vit.init(jax.random.PRNGKey(42),
+                     jnp.zeros((1, vit.image_size, vit.image_size, 3),
+                               jnp.float32))
+    solver.set_frozen_nets(vit_variables=vvars, vit_encoder=vit)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    b = {
+        "x_src": jax.random.uniform(k, (batch, size, size, 3),
+                                    minval=-1, maxval=1),
+        "y_src": jnp.arange(batch, dtype=jnp.int32) % 3,
+        "y_ref": (jnp.arange(batch, dtype=jnp.int32) + 1) % 3,
+        "x_ref": jax.random.uniform(jax.random.PRNGKey(2),
+                                    (batch, size, size, 3), minval=-1,
+                                    maxval=1),
+        "x_ref2": jax.random.uniform(jax.random.PRNGKey(3),
+                                     (batch, size, size, 3), minval=-1,
+                                     maxval=1),
+        "z_ref": jax.random.normal(jax.random.PRNGKey(4),
+                                   (batch, cfg.latent_dim)),
+        "z_ref2": jax.random.normal(jax.random.PRNGKey(5),
+                                    (batch, cfg.latent_dim)),
+        "z_src": jax.random.normal(jax.random.PRNGKey(6),
+                                   (batch, cfg.latent_dim)),
+    }
+    for key_ in ("s_ref", "s_ref2", "s_src"):
+        b[key_] = jax.random.normal(jax.random.PRNGKey(hash(key_) % 97),
+                                    (batch, cfg.num_embeds, cfg.embed_nc))
+    step = jax.jit(solver.train_step, donate_argnums=0)
+    flops = _program_flops(solver.train_step, state, b, jax.random.PRNGKey(7))
+    times = _time_reps(step, state, b, n_iters, n_reps)
+    img_s = batch * n_iters / times.mean()
+    return {
+        "img_per_sec": round(float(img_s), 2),
+        "img_per_sec_std": round(float(
+            batch * n_iters * times.std() / times.mean() ** 2), 2),
+        "tflop_per_img": (round(flops / batch / 1e12, 4) if flops else None),
+        "flops_per_launch": flops,
+        "sty_loss": "active (in-graph frozen ViT-B embed of x_fake)",
+    }
+
+
 def bench_pix2pix_loader_fed(size: int, batch: int, ipl: int, on_tpu: bool,
                              n_iters: int, preloaded_img_s: float):
     """The north-star clause is 'the input pipeline never stalls the TPU':
@@ -436,9 +521,11 @@ def bench_pix2pix_loader_fed(size: int, batch: int, ipl: int, on_tpu: bool,
     steady = ipl * batch * n_steady / (time.perf_counter() - t0)
     return {
         "img_per_sec": round(float(img_s), 2),
-        "overlap_gap": round(1 - img_s / preloaded_img_s, 4),
+        "overlap_gap": (round(1 - img_s / preloaded_img_s, 4)
+                        if preloaded_img_s else None),
         "img_per_sec_steady": round(float(steady), 2),
-        "overlap_gap_steady": round(1 - steady / preloaded_img_s, 4),
+        "overlap_gap_steady": (round(1 - steady / preloaded_img_s, 4)
+                               if preloaded_img_s else None),
     }
 
 
@@ -503,9 +590,11 @@ def bench_defectgan_loader_fed(size: int, batch: int, on_tpu: bool,
     steady = nc * batch * n_steady / (time.perf_counter() - t0)
     return {
         "img_per_sec": round(float(img_s), 2),
-        "overlap_gap": round(1 - img_s / preloaded_img_s, 4),
+        "overlap_gap": (round(1 - img_s / preloaded_img_s, 4)
+                        if preloaded_img_s else None),
         "img_per_sec_steady": round(float(steady), 2),
-        "overlap_gap_steady": round(1 - steady / preloaded_img_s, 4),
+        "overlap_gap_steady": (round(1 - steady / preloaded_img_s, 4)
+                               if preloaded_img_s else None),
         "note": ("steady state is H2D-capped on this dev harness: the u8 "
                  "feed needs ~49 MB/s vs the tunnel's ~45-55 MB/s "
                  "(input_pipeline.json h2d probe); decode is 3-6x "
@@ -525,78 +614,108 @@ def _mark(tag):
     print(f"[bench] {tag} done", file=sys.stderr, flush=True)
 
 
-def _run_suite(on_tpu: bool):
-    dev = jax.devices()[0]
-    peak = PEAK_FLOPS.get(dev.device_kind) if on_tpu else None
+# Suite sections, in value order (the primary metric FIRST): the suite prints
+# a best-so-far JSON line after EVERY completed section, so if the driver's
+# wall clock kills the process mid-compile, everything already measured still
+# lands in the judged artifact (round 4: six sections measured, rc=124,
+# parsed:null — never again). An internal budget (BENCH_BUDGET_S, default
+# 2100 s TPU / 1200 s CPU) skips remaining sections with skipped:"deadline"
+# and exits 0 instead of being killed.
+_PENDING = {"img_per_sec": None, "skipped": "pending"}
 
+
+def _suite_sections(on_tpu: bool, results: dict):
+    """Ordered (tag, est_seconds, thunk) list. `est` is the minimum budget
+    remaining for the section to be STARTED (warm-cache run time; a cold
+    compile may exceed it, which is why every completed section emits)."""
     if on_tpu:
-        # ipl=4 matches the trainer's --iters_per_launch default (the scan
-        # amortizes per-launch overhead; benchmarks/batch_scaling.json)
-        p2p = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4)
-        _mark("pix2pix_256")
-        p2p_fp = bench_pix2pix(256, 8, ipl=4, on_tpu=True, n_iters=4,
-                               fused_prop=True)
-        _mark("pix2pix_256_fusedprop")
-        p2p_hd = bench_pix2pix(512, 4, ipl=1, on_tpu=True, n_iters=4)
-        _mark("pix2pix_512")
-        dg = bench_defectgan(256, 8, on_tpu=True, n_iters=8)
-        _mark("defectgan_256")
-        inf = bench_infer(1024, 4, on_tpu=True, n_iters=6)
-        _mark("infer_1024")
-        sgv2_adain = bench_sgv2("adain", on_tpu=True, n_iters=8)
-        _mark("sgv2_adain")
-        sgv2_sean = bench_sgv2("sean", on_tpu=True, n_iters=8)
-        _mark("sgv2_sean")
-        p2p_fed = bench_pix2pix_loader_fed(
-            256, 8, ipl=4, on_tpu=True, n_iters=6,
-            preloaded_img_s=p2p["img_per_sec"])
-        _mark("pix2pix_loader_fed")
-        dg_fed = bench_defectgan_loader_fed(
-            256, 8, on_tpu=True, n_iters=6,
-            preloaded_img_s=dg["img_per_sec"])
-        _mark("defectgan_loader_fed")
-    else:  # CPU smoke path (tiny shapes, structure identical)
-        p2p = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2, n_reps=2)
-        _mark("pix2pix_64")
-        p2p_hd = bench_pix2pix(64, 1, ipl=1, on_tpu=False, n_iters=2,
-                               n_reps=2)
-        _mark("pix2pix_64_hd")
-        dg = bench_defectgan(64, 2, on_tpu=False, n_iters=2, n_reps=2)
-        _mark("defectgan_64")
-        p2p_fp = bench_pix2pix(64, 2, ipl=2, on_tpu=False, n_iters=2,
-                               n_reps=2, fused_prop=True)
-        _mark("pix2pix_64_fusedprop")
-        inf = bench_infer(64, 2, on_tpu=False, n_iters=2, n_reps=2)
-        _mark("infer_64")
-        # sgv2 is intentionally SKIPPED on the CPU smoke path: its train_step
-        # is the repo's largest program and compiles >12 min on a 1-core CPU
-        # host even at --xla_backend_optimization_level=0 (measured round 4);
-        # the fallback artifact must land fast. The sgv2 step's structure is
-        # covered by tests (test_starganv2.py, _parallel_sgv2_worker.py).
-        sgv2_adain = {"img_per_sec": None, "skipped": "cpu-smoke"}
-        sgv2_sean = {"img_per_sec": None, "skipped": "cpu-smoke"}
-        p2p_fed = bench_pix2pix_loader_fed(
+        return [
+            ("p2p", 90, lambda: bench_pix2pix(256, 8, ipl=4, on_tpu=True,
+                                              n_iters=4)),
+            ("dg", 90, lambda: bench_defectgan(256, 8, on_tpu=True,
+                                               n_iters=8)),
+            ("inf", 60, lambda: bench_infer(1024, 4, on_tpu=True, n_iters=6)),
+            ("p2p_fp", 60, lambda: bench_pix2pix(256, 8, ipl=4, on_tpu=True,
+                                                 n_iters=4, fused_prop=True)),
+            ("p2p_hd", 60, lambda: bench_pix2pix(512, 4, ipl=1, on_tpu=True,
+                                                 n_iters=4)),
+            ("sgv2_adain", 90, lambda: bench_sgv2("adain", on_tpu=True,
+                                                  n_iters=8)),
+            ("sgv2_sean", 90, lambda: bench_sgv2("sean", on_tpu=True,
+                                                 n_iters=8)),
+            ("p2p_fed", 120, lambda: bench_pix2pix_loader_fed(
+                256, 8, ipl=4, on_tpu=True, n_iters=6,
+                preloaded_img_s=results["p2p"]["img_per_sec"])),
+            ("dg_fed", 120, lambda: bench_defectgan_loader_fed(
+                256, 8, on_tpu=True, n_iters=6,
+                preloaded_img_s=results["dg"]["img_per_sec"])),
+            ("sgv2_sean_frozen", 180, lambda: bench_sgv2_sean_frozen(
+                on_tpu=True, n_iters=8)),
+        ]
+    # CPU smoke path (tiny shapes, structure identical). sgv2 runs LAST and
+    # tiny (opt0 + boot-scoped persistent cache): near-zero cost on a warm
+    # boot, and on a cold one the budget skips it rather than voiding the
+    # suite (round-4 ask: a tunnel-down round must still carry sgv2 signal).
+    return [
+        ("p2p", 60, lambda: bench_pix2pix(64, 2, ipl=2, on_tpu=False,
+                                          n_iters=2, n_reps=2)),
+        ("dg", 60, lambda: bench_defectgan(64, 2, on_tpu=False, n_iters=2,
+                                           n_reps=2)),
+        ("inf", 30, lambda: bench_infer(64, 2, on_tpu=False, n_iters=2,
+                                        n_reps=2)),
+        ("p2p_fp", 60, lambda: bench_pix2pix(64, 2, ipl=2, on_tpu=False,
+                                             n_iters=2, n_reps=2,
+                                             fused_prop=True)),
+        ("p2p_hd", 60, lambda: bench_pix2pix(64, 1, ipl=1, on_tpu=False,
+                                             n_iters=2, n_reps=2)),
+        ("p2p_fed", 90, lambda: bench_pix2pix_loader_fed(
             64, 2, ipl=2, on_tpu=False, n_iters=2,
-            preloaded_img_s=p2p["img_per_sec"])
-        _mark("pix2pix_loader_fed")
-        dg_fed = bench_defectgan_loader_fed(
+            preloaded_img_s=results["p2p"]["img_per_sec"])),
+        ("dg_fed", 90, lambda: bench_defectgan_loader_fed(
             64, 2, on_tpu=False, n_iters=2,
-            preloaded_img_s=dg["img_per_sec"])
-        _mark("defectgan_loader_fed")
+            preloaded_img_s=results["dg"]["img_per_sec"])),
+        ("sgv2_adain", 120, lambda: bench_sgv2("adain", on_tpu=False,
+                                               n_iters=2, n_reps=2)),
+    ]
 
-    for e in (p2p, p2p_fp, p2p_hd, dg, inf, sgv2_adain, sgv2_sean):
+
+def _assemble(results: dict, dev, peak, on_tpu: bool):
+    """Best-so-far output dict from whatever sections have completed."""
+    def get(tag):
+        e = dict(results.get(tag) or _PENDING)
         e["mfu"] = _mfu(e, peak)
         e.pop("flops_per_launch", None)
+        return e
 
+    p2p, p2p_fp, p2p_hd = get("p2p"), get("p2p_fp"), get("p2p_hd")
+    dg, inf = get("dg"), get("inf")
+    sgv2_adain, sgv2_sean = get("sgv2_adain"), get("sgv2_sean")
+    if not on_tpu:
+        for e in (sgv2_sean,):
+            e.setdefault("skipped", "cpu-smoke")
+    # the synthetic-s_ref sean number omits the per-iteration frozen-ViT
+    # embed of x_fake the reference pays (solver.py:515); say so, and report
+    # the honest variant alongside (sgv2_sean_frozen)
+    sgv2_sean.setdefault("sty_loss",
+                         "inactive (synthetic precomputed s_ref stacks; "
+                         "see starganv2_256_sean_frozen_vit)")
+    sean_frozen = get("sgv2_sean_frozen")
+    if not on_tpu:
+        sean_frozen.setdefault("skipped", "cpu-smoke")
+    p2p_fed = results.get("p2p_fed") or dict(_PENDING)
+    dg_fed = results.get("dg_fed") or dict(_PENDING)
+
+    ok = p2p.get("img_per_sec") is not None
     out = {
         "metric": "pix2pix_256x256_train_img_per_sec_per_chip",
-        "value": p2p["img_per_sec"],
+        "value": p2p.get("img_per_sec"),
         "unit": "img/s",
         # baseline: FLOPs-matched torch-reference estimate on A100 fp32
         # (25.0 img/s; derivation in the module docstring). >=3.0 here means
         # the north-star "3x A100" target is met.
-        "vs_baseline": round(p2p["img_per_sec"] / REF_P2P_A100, 2),
-        "mfu": p2p["mfu"],
+        "vs_baseline": (round(p2p["img_per_sec"] / REF_P2P_A100, 2)
+                        if ok and on_tpu else None),
+        "mfu": p2p.get("mfu"),
         "extra": {
             "device": f"{dev.platform}:{dev.device_kind}",
             "pix2pix_256": p2p,
@@ -608,14 +727,15 @@ def _run_suite(on_tpu: bool):
                 # CPU-smoke img/s is not comparable to the A100 baseline
                 "vs_baseline": (round(
                     p2p_fp["img_per_sec"] / REF_P2P_A100, 2)
-                    if on_tpu else None),
+                    if on_tpu and p2p_fp.get("img_per_sec") else None),
             },
             "pix2pix_512_multiscaleD": p2p_hd,
             "defectgan_256": {
                 **dg,
                 # CPU-smoke img/s is not comparable to the V100 baseline
                 "vs_sgv2_v100": (round(dg["img_per_sec"] / REF_SGV2_V100, 2)
-                                 if on_tpu else None),
+                                 if on_tpu and dg.get("img_per_sec")
+                                 else None),
             },
             "generator_infer_1024": inf,
             # loader-fed: same steps, C++ loaders + device_prefetch.
@@ -626,9 +746,10 @@ def _run_suite(on_tpu: bool):
                 **sgv2_adain,
                 "vs_sgv2_v100": (round(
                     sgv2_adain["img_per_sec"] / REF_SGV2_V100, 2)
-                    if sgv2_adain.get("img_per_sec") else None),
+                    if on_tpu and sgv2_adain.get("img_per_sec") else None),
             },
             "starganv2_256_sean": sgv2_sean,
+            "starganv2_256_sean_frozen_vit": sean_frozen,
             "baselines": {
                 "ref_p2p_a100_img_s": REF_P2P_A100,
                 "ref_sgv2_v100_img_s": REF_SGV2_V100,
@@ -637,6 +758,40 @@ def _run_suite(on_tpu: bool):
         },
     }
     return out
+
+
+def _run_suite(on_tpu: bool, emit=None):
+    """Run sections in value order; call emit(best_so_far_dict) after every
+    completed section; stop early when the BENCH_BUDGET_S wall budget runs
+    out (remaining sections get skipped:"deadline")."""
+    import os
+    dev = jax.devices()[0]
+    peak = PEAK_FLOPS.get(dev.device_kind) if on_tpu else None
+    budget_s = float(os.environ.get("BENCH_BUDGET_S",
+                                    "2100" if on_tpu else "1200"))
+    t0 = time.perf_counter()
+    results = {}
+    for tag, est, thunk in _suite_sections(on_tpu, results):
+        left = budget_s - (time.perf_counter() - t0)
+        if left < est:
+            results[tag] = {"img_per_sec": None, "skipped": "deadline",
+                            "budget_left_s": round(left, 1)}
+            print(f"[bench] {tag} skipped (deadline: {left:.0f}s left < "
+                  f"{est}s est)", file=sys.stderr, flush=True)
+            continue
+        try:
+            r = thunk()
+            results[tag] = r if r is not None else {
+                "img_per_sec": None, "skipped": "native loader unavailable"}
+        except Exception as e:  # one broken section must not void the rest
+            import traceback
+            traceback.print_exc()
+            results[tag] = {"img_per_sec": None,
+                            "error": f"{type(e).__name__}: {str(e)[:300]}"}
+        _mark(tag)
+        if emit is not None:
+            emit(_assemble(results, dev, peak, on_tpu))
+    return _assemble(results, dev, peak, on_tpu)
 
 
 def _error_json(e) -> dict:
@@ -651,48 +806,76 @@ def _error_json(e) -> dict:
     }
 
 
+def _decorate_cpu(out: dict) -> dict:
+    out["tpu_unavailable"] = True
+    out["previous"] = LAST_GOOD_TPU
+    # a CPU-smoke img/s is not comparable to the A100 baseline
+    out["vs_baseline"] = None
+    return out
+
+
 def _cpu_smoke_child():
     """Run the CPU smoke suite in THIS process (spawned by main() with
     JAX_PLATFORMS=cpu and --xla_backend_optimization_level=0 — the same
     trick the sgv2 mesh tests use: the StarGAN v2 train_step's default-opt
     CPU compile alone takes >10 min on this 1-core host, and the smoke's
-    2-iter runs don't care about codegen quality)."""
+    2-iter runs don't care about codegen quality). Emits a best-so-far
+    BENCH_JSON line after every section; the parent re-prints each as a
+    bare JSON line immediately, so even a SIGKILL keeps the latest."""
     jax.config.update("jax_platforms", "cpu")
-    out = _run_suite(on_tpu=False)
-    out["tpu_unavailable"] = True
-    out["previous"] = LAST_GOOD_TPU
-    # a CPU-smoke img/s is not comparable to the A100 baseline
-    out["vs_baseline"] = None
-    print("BENCH_JSON:" + json.dumps(out), flush=True)
+
+    def emit(o):
+        print("BENCH_JSON:" + json.dumps(_decorate_cpu(o)), flush=True)
+
+    out = _run_suite(on_tpu=False, emit=emit)
+    print("BENCH_JSON:" + json.dumps(_decorate_cpu(out)), flush=True)
 
 
-def _run_cpu_smoke_subprocess(timeout_s: float = 1500.0) -> dict:
+def _run_cpu_smoke_subprocess(timeout_s: float = 1800.0) -> dict:
+    """Stream the child's stdout, re-printing every best-so-far JSON line
+    to OUR stdout as it arrives (driver tail-parse safety), and return the
+    last one. The child enforces its own BENCH_BUDGET_S; the outer timeout
+    is a backstop only."""
     import os
+
+    from de_i2i_gan_tpu import cpu_xla_flags
+
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # skip the axon TPU registration
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONUNBUFFERED"] = "1"
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "backend_optimization_level" not in f]
-    env["XLA_FLAGS"] = " ".join(
-        flags + ["--xla_backend_optimization_level=0"])
-    r = subprocess.run([sys.executable, __file__, "--cpu-smoke"],
-                       env=env, timeout=timeout_s, capture_output=True,
-                       text=True)
-    for line in reversed(r.stdout.strip().splitlines() or []):
-        if line.startswith("BENCH_JSON:"):
-            return json.loads(line[len("BENCH_JSON:"):])
-    raise RuntimeError(
-        f"cpu smoke subprocess rc={r.returncode}: {r.stderr[-2000:]}")
+    env.setdefault("BENCH_BUDGET_S", "1200")
+    env["XLA_FLAGS"] = cpu_xla_flags(env.get("XLA_FLAGS", ""), opt0=True)
+    p = subprocess.Popen([sys.executable, __file__, "--cpu-smoke"],
+                         env=env, stdout=subprocess.PIPE, stderr=None,
+                         text=True)
+    last = None
+    deadline = time.perf_counter() + timeout_s
+    try:
+        for line in p.stdout:
+            if line.startswith("BENCH_JSON:"):
+                last = json.loads(line[len("BENCH_JSON:"):])
+                print(json.dumps(last), flush=True)
+            if time.perf_counter() > deadline:
+                p.kill()
+                break
+        p.wait(timeout=60)
+    except Exception:
+        p.kill()
+    if last is None:
+        raise RuntimeError("cpu smoke subprocess produced no BENCH_JSON "
+                           f"line (rc={p.returncode})")
+    return last
 
 
 def main():
     """Probe the backend first (subprocess, killable), then run the suite.
 
-    This function must ALWAYS print one parseable JSON line and exit 0:
-    round 3's relay death at `jax.devices()` produced rc=1/parsed:null in
-    the judged artifact (BENCH_r03.json) despite a healthy codebase.
-    """
+    This function must ALWAYS print one parseable JSON line and exit 0 —
+    and since round 5 it prints a best-so-far line after EVERY completed
+    section, so a driver-side SIGKILL mid-section still leaves the latest
+    results as the last parseable stdout line (round 4: rc=124 after six
+    completed sections judged as parsed:null)."""
     if "--cpu-smoke" in sys.argv[1:]:
         _cpu_smoke_child()
         return
@@ -700,7 +883,9 @@ def main():
     try:
         probe = _probe_with_retries()
         if probe is not None and probe[0] == "tpu":
-            out = _run_suite(on_tpu=True)
+            out = _run_suite(
+                on_tpu=True,
+                emit=lambda o: print(json.dumps(o), flush=True))
         else:
             if probe is None:
                 print("[bench] TPU backend unreachable after retries; "
@@ -711,7 +896,7 @@ def main():
         import traceback
         traceback.print_exc()
         out = _error_json(f"{type(e).__name__}: {e}")
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -37,20 +37,24 @@ def main():
     for name, fused in (("fused", True), ("alt", False)):
         # the tunnel's remote-compile can drop mid-compile ("response body
         # closed", observed round 4); the local persistent cache keeps the
-        # finished programs, so a straight retry resumes where it died
+        # finished programs, so a retry resumes where it died. An abandoned
+        # server-side compile can block the TPU server ~5 min (CLAUDE.md),
+        # so back off 60 -> 300 s rather than landing the first retry on a
+        # still-blocked server.
         last = None
-        for attempt in range(3):
+        for attempt, wait in enumerate((60, 300, 300)):
             try:
                 r = bench.bench_defectgan(256, 8, on_tpu=True, n_iters=8,
+                                          phases=True,
                                           fused_g_forward=fused)
                 break
             except Exception as e:
                 last = e
                 print(f"[ab] {name} attempt {attempt + 1} failed: "
-                      f"{type(e).__name__}: {str(e)[:120]}; retrying",
-                      file=sys.stderr)
+                      f"{type(e).__name__}: {str(e)[:120]}; retrying in "
+                      f"{wait}s", file=sys.stderr)
                 import time
-                time.sleep(60)
+                time.sleep(wait)
         else:
             raise last
         results[name] = r
@@ -78,6 +82,13 @@ def main():
         "g_step_ms_fused": results["fused"]["g_step_ms"],
         "verdict": verdict,
     }
+    # phase timing is best-effort on the tunnel (bench._try_phase_ms); if a
+    # phase time was dropped, the artifact must say so itself rather than
+    # silently carrying nulls (round-4 advisor finding)
+    if out["g_step_ms_alt"] is None or out["g_step_ms_fused"] is None:
+        out["phase_timing_skipped"] = (
+            "standalone d/g step timing failed transiently on the tunnel; "
+            "img/s results above are unaffected")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "defectgan_gstep_ab.json")
     with open(path, "w") as f:

@@ -21,12 +21,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from de_i2i_gan_tpu import cpu_xla_flags  # noqa: E402 (no jax import)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-         if "host_platform_device_count" not in f]
-flags += ["--xla_force_host_platform_device_count=2",
-          ]
-os.environ["XLA_FLAGS"] = " ".join(flags)
+os.environ["XLA_FLAGS"] = cpu_xla_flags(os.environ.get("XLA_FLAGS", ""),
+                                        devices=2)
 
 import jax  # noqa: E402
 

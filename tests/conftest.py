@@ -8,11 +8,16 @@ Must run before jax is imported anywhere.
 """
 import os
 
+from de_i2i_gan_tpu import cpu_xla_flags  # lazy package: does not import jax
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# pins --xla_cpu_max_isa (cache entries round-trip; see cpu_xla_flags) and
+# forces the 8-device virtual mesh unless a spawning worker already chose a
+# device count, preserving any unrelated caller flags
+_flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = cpu_xla_flags(
+    _flags,
+    devices=None if "host_platform_device_count" in _flags else 8)
 
 # The axon sitecustomize force-registers the tunneled TPU and overrides
 # JAX_PLATFORMS; jax.config.update after import wins (verified: without this,

@@ -403,8 +403,12 @@ def bench_sgv2_sean_frozen(on_tpu: bool, n_iters: int, n_reps: int = 3):
     (stargan-v2/core/solver.py:515). bench_sgv2("sean") feeds synthetic
     precomputed s_ref stacks and therefore omits that per-iteration ViT
     forward (its entry is labeled sty_loss:"inactive"); this one pays it,
-    with a random-init frozen ViT-B (weights don't affect throughput)."""
-    from de_i2i_gan_tpu.models.vit import ViTEncoder
+    with a random-init frozen ViT-B (weights don't affect throughput).
+    Uses ViTEncoderScanned: the UNROLLED 12-block ViT-B pushes the sean
+    train_step's serialized HLO past the dev tunnel's remote-compile
+    request-size cap (HTTP 413, measured round 5); the scanned form is
+    numerically identical (tests/test_vit.py) and fits."""
+    from de_i2i_gan_tpu.models.vit import ViTEncoder, ViTEncoderScanned
     from de_i2i_gan_tpu.train.solver import StarGANv2Config, StarGANv2Solver
 
     size = 256 if on_tpu else 64
@@ -417,7 +421,8 @@ def bench_sgv2_sean_frozen(on_tpu: bool, n_iters: int, n_reps: int = 3):
                                   latent_dim=4, max_conv_dim=64)))
     solver = StarGANv2Solver(cfg)
     if on_tpu:
-        vit = ViTEncoder(model_size="base", image_size=224, dtype=cfg.dtype)
+        vit = ViTEncoderScanned(model_size="base", image_size=224,
+                                dtype=cfg.dtype)
     else:  # tiny hidden width must match embed_nc on the smoke path
         vit = ViTEncoder(model_size="tiny", image_size=32, dtype=cfg.dtype)
     vvars = vit.init(jax.random.PRNGKey(42),

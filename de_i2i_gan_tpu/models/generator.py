@@ -42,7 +42,8 @@ class DefectGanGenerator(nn.Module):
     def __call__(self, x: jax.Array, labels: jax.Array,
                  style_feat: Optional[jax.Array] = None, *,
                  train: bool = False, track_stats: bool = False,
-                 inference_stats: bool = False, distill: bool = False):
+                 inference_stats: bool = False, distill: bool = False,
+                 bn_groups: int = 1):
         cfg = self.cfg
         assert cfg.num_res % 2 == 0, "num_res must be even"
         scale = 2 ** cfg.num_scales
@@ -61,11 +62,14 @@ class DefectGanGenerator(nn.Module):
                         use_spectral=cfg.use_spectral, add_noise=cfg.add_noise,
                         dtype=dt, use_pallas=cfg.use_pallas)
 
-        # stem: 7x7 conv + BN + leaky-relu (generator.py:67-73)
+        # stem: 7x7 conv + BN + leaky-relu (generator.py:67-73). bn_groups>1
+        # scopes BatchNorm statistics to contiguous batch groups so a fused
+        # multi-direction 2B forward (train/steps.py fused_g_forward) stays
+        # numerically identical to separate B forwards.
         feat = ConvBlock(cfg.ngf, (7, 7), (1, 1), "same", "reflect",
                          norm="batch", act="leaky_relu",
-                         use_spectral=cfg.use_spectral, dtype=dt,
-                         name="stem")(x, train=train)
+                         use_spectral=cfg.use_spectral, bn_groups=bn_groups,
+                         dtype=dt, name="stem")(x, train=train)
 
         crt = cfg.ngf
         skips = []
@@ -75,14 +79,16 @@ class DefectGanGenerator(nn.Module):
             crt *= 2
             feat = ConvBlock(crt, (4, 4), (2, 2), 1, "reflect",
                              norm="batch", act="leaky_relu",
-                             use_spectral=cfg.use_spectral, dtype=dt,
+                             use_spectral=cfg.use_spectral,
+                             bn_groups=bn_groups, dtype=dt,
                              name=f"enc_{i}")(feat, train=train)
 
         # encoder residual blocks (generator.py:118-126)
         for i in range(cfg.num_res // 2):
             feat = ResBlock(crt, (3, 3), "same", "reflect", norm="batch",
                             act="leaky_relu", use_spectral=cfg.use_spectral,
-                            dtype=dt, name=f"enc_res_{i}")(feat, train=train)
+                            bn_groups=bn_groups, dtype=dt,
+                            name=f"enc_res_{i}")(feat, train=train)
 
         # decoder residual blocks with style norm (generator.py:139-152)
         for i in range(cfg.num_res // 2):

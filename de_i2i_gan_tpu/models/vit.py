@@ -92,6 +92,83 @@ class ViTEncoder(nn.Module):
         return self.apply(variables, x)[:, 0, :]
 
 
+class _ScanViTBlock(nn.Module):
+    """nn.scan body: (carry, None) -> (carry, None) around one ViTBlock."""
+
+    hidden: int
+    heads: int
+    mlp: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, _):
+        return ViTBlock(self.hidden, self.heads, self.mlp,
+                        dtype=self.dtype, name="block")(h), None
+
+
+class ViTEncoderScanned(nn.Module):
+    """ViTEncoder with the transformer stack under ``nn.scan`` (block params
+    stacked on a leading layer axis): mathematically identical per-token
+    compute, but the lowered HLO contains ONE block body instead of 12/24 —
+    an order-of-magnitude smaller program. Use where program size or compile
+    time dominates: the dev tunnel's remote-compile endpoint rejects the
+    unrolled frozen-ViT-B sean train_step outright (HTTP 413 request-size
+    cap, measured round 5), while the scanned form fits.
+
+    Param layout differs from ViTEncoder (stacked ``blocks_scan/block/...``
+    vs per-layer ``block_i/...``); ``stack_vit_params`` converts.
+    """
+
+    model_size: str = "base"
+    patch: int = 16
+    image_size: int = 224
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = SIZES[self.model_size]
+        n = x.shape[0]
+        if x.shape[1] != self.image_size:
+            x = jax.image.resize(
+                x, (n, self.image_size, self.image_size, x.shape[-1]),
+                "bilinear")
+        h = nn.Conv(cfg["hidden"], (self.patch, self.patch),
+                    (self.patch, self.patch), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(x.astype(self.dtype))
+        h = h.reshape(n, -1, cfg["hidden"])
+        cls = self.param("cls_token", nn.initializers.zeros_init(),
+                         (1, 1, cfg["hidden"]), jnp.float32)
+        h = jnp.concatenate([jnp.tile(cls.astype(h.dtype), (n, 1, 1)), h],
+                            axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, h.shape[1], cfg["hidden"]), jnp.float32)
+        h = h + pos.astype(h.dtype)
+        scan = nn.scan(_ScanViTBlock,
+                       variable_axes={"params": 0},
+                       split_rngs={"params": True},
+                       length=cfg["layers"])(
+            cfg["hidden"], cfg["heads"], cfg["mlp"], dtype=self.dtype,
+            name="blocks_scan")
+        h, _ = scan(h, None)
+        # HF hidden_states[-1] is pre-final-layernorm; keep that convention
+        return h
+
+    def cls_embedding(self, variables, x):
+        return self.apply(variables, x)[:, 0, :]
+
+
+def stack_vit_params(params: dict, model_size: str = "base") -> dict:
+    """Convert ViTEncoder params (block_0..block_{L-1}) to the stacked
+    ViTEncoderScanned layout (blocks_scan/block with a leading layer axis).
+    Embedding/head params pass through unchanged."""
+    layers = SIZES[model_size]["layers"]
+    blocks = [params[f"block_{i}"] for i in range(layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *blocks)
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    out["blocks_scan"] = {"block": stacked}
+    return out
+
+
 class FeatureExtractor:
     """Frozen-ViT style embedding extractor (stargan-v2 core/model.py:535-572).
 

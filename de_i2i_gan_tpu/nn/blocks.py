@@ -52,6 +52,30 @@ def _norm_layer(norm: Optional[str], dtype, name: str):
     raise NameError(f"norm layer named {norm} not defined")
 
 
+def _apply_norm(norm, y, *, train: bool, bn_groups: int = 1):
+    """Apply a base norm; for BatchNorm in train mode with bn_groups > 1,
+    normalize each contiguous batch group with ITS OWN batch statistics (the
+    same module instance, so params/running stats are shared and the running
+    averages see the groups sequentially). This makes a 2B-batched
+    "fused" generator forward (config.fused_g_forward; train/steps.py)
+    numerically IDENTICAL to the two separate B-batched forwards it fuses —
+    batching is then purely an XLA scheduling choice, not a semantics
+    change. Exactness is proven by tests/test_fused_g_equivalence.py."""
+    if norm is None:
+        return y
+    if not isinstance(norm, nn.Module):
+        return norm(y)
+    if train and bn_groups > 1:
+        n = y.shape[0]
+        assert n % bn_groups == 0, (
+            f"batch {n} not divisible into {bn_groups} BN groups")
+        h = n // bn_groups
+        parts = [norm(y[i * h:(i + 1) * h], use_running_average=False)
+                 for i in range(bn_groups)]
+        return jnp.concatenate(parts, axis=0)
+    return norm(y, use_running_average=not train)
+
+
 class NoiseInjection(nn.Module):
     """StyleGAN-style noise injection (architecture.py:374-389).
 
@@ -89,6 +113,7 @@ class ConvBlock(nn.Module):
     norm: Optional[str] = None  # 'batch' | 'instance' | None
     act: Optional[str] = None
     use_spectral: bool = False
+    bn_groups: int = 1  # per-group BN stats for fused multi-direction batches
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,12 +122,8 @@ class ConvBlock(nn.Module):
                    self.padding_mode, use_bias=self.use_bias,
                    use_spectral=self.use_spectral, dtype=self.dtype,
                    name="conv")(x, update_sn=train)
-        norm = _norm_layer(self.norm, self.dtype, "norm")
-        if norm is not None:
-            if isinstance(norm, nn.Module):
-                y = norm(y, use_running_average=not train)
-            else:
-                y = norm(y)
+        y = _apply_norm(_norm_layer(self.norm, self.dtype, "norm"), y,
+                        train=train, bn_groups=self.bn_groups)
         return get_act(self.act)(y)
 
 
@@ -120,6 +141,7 @@ class DeConvBlock(nn.Module):
     act: Optional[str] = None
     use_spectral: bool = False
     add_noise: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,12 +154,8 @@ class DeConvBlock(nn.Module):
                    name="conv")(x, update_sn=train)
         if self.add_noise:
             y = NoiseInjection(name="noise")(y)
-        norm = _norm_layer(self.norm, self.dtype, "norm")
-        if norm is not None:
-            if isinstance(norm, nn.Module):
-                y = norm(y, use_running_average=not train)
-            else:
-                y = norm(y)
+        y = _apply_norm(_norm_layer(self.norm, self.dtype, "norm"), y,
+                        train=train, bn_groups=self.bn_groups)
         return get_act(self.act)(y)
 
 
@@ -153,6 +171,7 @@ class ResBlock(nn.Module):
     act: Optional[str] = "relu"
     use_spectral: bool = False
     down_scale: bool = False
+    bn_groups: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -160,18 +179,21 @@ class ResBlock(nn.Module):
         f_in = x.shape[-1]
         y = ConvBlock(f_in, self.kernel_size, (1, 1), self.padding,
                       self.padding_mode, norm=self.norm, act=self.act,
-                      use_spectral=self.use_spectral, dtype=self.dtype,
+                      use_spectral=self.use_spectral,
+                      bn_groups=self.bn_groups, dtype=self.dtype,
                       name="conv_0")(x, train=train)
         if self.down_scale:
             y = avg_pool(y, 2, 2)
         y = ConvBlock(self.features, self.kernel_size, (1, 1), self.padding,
                       self.padding_mode, norm=self.norm, act=None,
-                      use_spectral=self.use_spectral, dtype=self.dtype,
+                      use_spectral=self.use_spectral,
+                      bn_groups=self.bn_groups, dtype=self.dtype,
                       name="conv_1")(y, train=train)
         if self.down_scale:
             s = ConvBlock(self.features, (1, 1), (1, 1), 0, self.padding_mode,
                           norm=self.norm, act=None,
-                          use_spectral=self.use_spectral, dtype=self.dtype,
+                          use_spectral=self.use_spectral,
+                          bn_groups=self.bn_groups, dtype=self.dtype,
                           name="conv_s")(x, train=train)
             s = avg_pool(s, 2, 2)
         else:

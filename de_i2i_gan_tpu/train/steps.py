@@ -128,7 +128,8 @@ class DefectGanSteps:
 
     # ------------------------------------------------------------- internals
     def _g_apply(self, params, state, x, labels, feat, *, train, rng,
-                 track_stats=False, inference_stats=False, distill=False):
+                 track_stats=False, inference_stats=False, distill=False,
+                 bn_groups=1):
         variables = {"params": params, **state}
         mutable = []
         if train:
@@ -141,6 +142,7 @@ class DefectGanSteps:
         out, mut = self.G.apply(
             variables, x, labels, feat, train=train, track_stats=track_stats,
             inference_stats=inference_stats, distill=distill,
+            bn_groups=bn_groups,
             mutable=mutable, rngs={"noise": kn, "latent": kl})
         distill_vals = mut.pop("distill_loss", None) if distill else None
         return out, _split_state(mut, state), distill_vals
@@ -258,9 +260,13 @@ class DefectGanSteps:
         distill_acc = []
 
         def _g_fwd_pure(params, g_state, x, labels, feat, k):
+            # fused 2B calls scope BN stats per direction (bn_groups=2), so
+            # fusing is a pure scheduling choice — numerics proven identical
+            # to the 4-call schedule by tests/test_fused_g_equivalence.py
             return self._g_apply(params, g_state, x, labels, feat,
                                  train=True, rng=k, track_stats=track,
-                                 distill=distill)
+                                 distill=distill,
+                                 bn_groups=2 if cfg.fused_g_forward else 1)
 
         if cfg.remat:
             _g_fwd_pure = jax.checkpoint(_g_fwd_pure)
@@ -274,7 +280,11 @@ class DefectGanSteps:
 
         if cfg.fused_g_forward:
             # both directions of each hop in one 2B call (TPU: larger tiles,
-            # half the launches; BN stats over the combined batch)
+            # half the launches). BN statistics stay per-direction via
+            # bn_groups=2 in _g_fwd_pure, so this path is numerically
+            # identical to the 4-call schedule (same losses and gradients;
+            # only the noise-RNG stream and the running-average update
+            # ORDER differ — tests/test_fused_g_equivalence.py)
             def cat(a, b):
                 return None if a is None else jnp.concatenate([a, b], axis=0)
 

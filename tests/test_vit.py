@@ -74,3 +74,28 @@ def test_dump_embeddings():
     assert set(bank) == {(1, 0, 0), (0, 1, 0), (0, 0, 1)}
     assert len(bank[(1, 0, 0)]) == 2
     assert bank[(1, 0, 0)][0].shape == (32,)
+
+
+def test_scanned_encoder_matches_unrolled():
+    """ViTEncoderScanned must be numerically identical to ViTEncoder given
+    stack_vit_params-converted weights (it exists to shrink the lowered HLO
+    ~layers-fold, e.g. under the dev tunnel's remote-compile size cap)."""
+    from de_i2i_gan_tpu.models.vit import (SIZES, ViTEncoder,
+                                           ViTEncoderScanned,
+                                           stack_vit_params)
+    SIZES["test_scan"] = dict(hidden=16, layers=3, heads=2, mlp=32)
+    try:
+        enc = ViTEncoder(model_size="test_scan", image_size=32, patch=16)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                               minval=-1, maxval=1)
+        v = enc.init(jax.random.PRNGKey(1), x)
+        ref = enc.apply(v, x)
+        scanned = ViTEncoderScanned(model_size="test_scan", image_size=32,
+                                    patch=16)
+        vs = {"params": stack_vit_params(v["params"],
+                                         model_size="test_scan")}
+        got = scanned.apply(vs, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        SIZES.pop("test_scan", None)

@@ -220,7 +220,8 @@ def bench_defectgan(size: int, batch: int, on_tpu: bool, n_iters: int,
     from de_i2i_gan_tpu.config import DefectGanConfig, TrainConfig
     from de_i2i_gan_tpu.train.steps import DefectGanSteps
 
-    cfg_overrides.setdefault("fused_g_forward", True)
+    # fused_g_forward follows the product default (True since the round-5
+    # A/B + exact-equivalence proof); the A/B script overrides it per arm
     cfg = DefectGanConfig(
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
@@ -557,7 +558,6 @@ def bench_defectgan_loader_fed(size: int, batch: int, on_tpu: bool,
     cfg = DefectGanConfig(
         image_size=size,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        fused_g_forward=True,
         **({} if on_tpu else dict(ngf=8, ndf=8, num_res=2, hidden_nc=16)))
     tcfg = TrainConfig(batch_size=batch, num_critics=5, lr=(2e-4, 1e-4))
     nc = tcfg.num_critics

@@ -66,11 +66,15 @@ class DefectGanConfig:
     # inference-heavy or very bandwidth-bound shapes.
     use_pallas: bool = False
     # batch the two translation directions of each cycle hop into one 2B
-    # generator call (larger MXU tiles, fewer launches). BatchNorm then
-    # normalizes over the combined 2B batch instead of per-direction — a
-    # documented deviation from the reference's 4 separate forwards
-    # (defectgan_model.py:185-190).
-    fused_g_forward: bool = False
+    # generator call (larger MXU tiles, fewer launches). NUMERICALLY
+    # IDENTICAL to the reference's 4 separate forwards
+    # (defectgan_model.py:185-190): BatchNorm statistics stay per-direction
+    # via bn_groups=2 (nn/blocks.py::_apply_norm), proven by
+    # tests/test_fused_g_equivalence.py (loss/grad/running-stat equality;
+    # only the noise-RNG stream and EMA update order differ). Default ON
+    # since the round-5 A/B: +2.5% train throughput at 256^2 b8 on v5e
+    # (benchmarks/defectgan_gstep_ab.json).
+    fused_g_forward: bool = True
     # rematerialize generator forwards inside the G loss (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for O(1) activation memory per hop,
     # unlocking larger per-chip batches at high resolution.

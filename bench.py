@@ -1,7 +1,12 @@
 """Benchmark suite: paired-i2i (pix2pix) + DefectGAN training throughput and
 MFU on one TPU chip.
 
-Prints ONE JSON line. The primary metric is the north-star workload
+Prints a best-so-far JSON line after EVERY completed section and a final
+one at the end — the LAST parseable stdout line is the result, so a
+driver-side kill mid-section still leaves everything already measured
+(round 4: rc=124 voided six finished sections). An internal wall budget
+(BENCH_BUDGET_S) skips remaining sections with skipped:"deadline" and
+exits 0. The primary metric is the north-star workload
 (BASELINE.json: "256x256 paired-i2i training at >=3x A100 images/sec/chip"):
 `pix2pix_256x256_train_img_per_sec_per_chip`, with per-workload detail
 (img/s, std across reps, model FLOPs per image, MFU) in `extra`.
@@ -695,9 +700,10 @@ def _assemble(results: dict, dev, peak, on_tpu: bool):
     p2p, p2p_fp, p2p_hd = get("p2p"), get("p2p_fp"), get("p2p_hd")
     dg, inf = get("dg"), get("inf")
     sgv2_adain, sgv2_sean = get("sgv2_adain"), get("sgv2_sean")
-    if not on_tpu:
-        for e in (sgv2_sean,):
-            e.setdefault("skipped", "cpu-smoke")
+    if not on_tpu and sgv2_sean.get("skipped") == "pending":
+        # sean has no CPU-smoke section (largest program; the adain smoke
+        # carries the sgv2 signal) — label it honestly
+        sgv2_sean["skipped"] = "cpu-smoke"
     # the synthetic-s_ref sean number omits the per-iteration frozen-ViT
     # embed of x_fake the reference pays (solver.py:515); say so, and report
     # the honest variant alongside (sgv2_sean_frozen)
@@ -705,8 +711,8 @@ def _assemble(results: dict, dev, peak, on_tpu: bool):
                          "inactive (synthetic precomputed s_ref stacks; "
                          "see starganv2_256_sean_frozen_vit)")
     sean_frozen = get("sgv2_sean_frozen")
-    if not on_tpu:
-        sean_frozen.setdefault("skipped", "cpu-smoke")
+    if not on_tpu and sean_frozen.get("skipped") == "pending":
+        sean_frozen["skipped"] = "cpu-smoke"
     p2p_fed = results.get("p2p_fed") or dict(_PENDING)
     dg_fed = results.get("dg_fed") or dict(_PENDING)
 

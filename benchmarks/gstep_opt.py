@@ -85,6 +85,9 @@ VARIANTS = {"base": lambda: None, "gather": _variant_gather,
 
 
 def time_g_step(n_iters=8):
+    from de_i2i_gan_tpu import enable_compile_cache
+
+    enable_compile_cache()  # child process: must opt into the shared cache
     import jax
     import jax.numpy as jnp
 

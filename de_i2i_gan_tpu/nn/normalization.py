@@ -42,13 +42,22 @@ Dtype = Any
 def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Param-free instance norm over H, W (torch nn.InstanceNorm2d(affine=False)).
 
-    Statistics in float32 regardless of compute dtype.
+    Statistics use float32 ACCUMULATION (jnp.mean(dtype=f32)) without
+    materializing a float32 copy of the activation tensor: for bf16 compute
+    the centered tensor stays bf16 (the only precision cost, ~3 mantissa
+    bits on x - mean, irrelevant at GAN activation scales), which cut the
+    DefectGAN-256 g_step from 165.0 to 159.5 ms on v5e
+    (benchmarks/gstep_opt.json, round 5). For float32 inputs this is
+    bit-identical to the previous f32-materializing form, so torch-parity
+    tests are unaffected. NOTE: a round-3 single-pass bf16 scale/shift
+    rewrite LOST 3-6% (moment-recompute traffic, CLAUDE.md); this is the
+    two-pass accumulate-dtype variant, which wins.
     """
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return out.astype(x.dtype)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    xc = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(xc.astype(jnp.float32)), axis=(1, 2),
+                   keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps).astype(x.dtype)
 
 
 def _border_index(n: int) -> np.ndarray:

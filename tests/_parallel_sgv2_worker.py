@@ -21,11 +21,21 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from de_i2i_gan_tpu import cpu_xla_flags  # noqa: E402 (no jax import)
-
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = cpu_xla_flags(os.environ.get("XLA_FLAGS", ""),
-                                        devices=2)
+# This worker deliberately does NOT use cpu_xla_flags' AVX2 ISA pin:
+# measured round 5, AVX2 codegen reassociates the sharded vs unsharded
+# g-grad reductions enough that ~77% of leaves sit at 1-3e-3 relative
+# (through the double-G style/diversity/cycle chain), while the identical
+# comparison at the default ISA agrees < 1e-3 on every leaf. The tight
+# per-leaf gate is the point of this test, so it runs at default ISA and
+# pays the (cache-less, ~4 min) compile the pre-round-5 version always
+# paid — see de_i2i_gan_tpu.cpu_xla_flags for why the cache can't persist
+# without the pin.
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "host_platform_device_count" not in f
+         and "xla_cpu_max_isa" not in f]
+flags.append("--xla_force_host_platform_device_count=2")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 
 import jax  # noqa: E402
 
@@ -108,27 +118,24 @@ def main(norm_type: str) -> None:
     # structural sharding bug (mis-partitioned mean, missing all-reduce)
     # yields O(1) relative error on every leaf and absolute errors at the
     # global scale — far outside both gates.
+    # Comparison metric: relative L2 error per leaf. The residual is f32
+    # reduction-order noise (amplified through the R1 grad-of-grad and the
+    # double-G cycle chain) — measured ~1e-5..1e-4 relative at the default
+    # ISA this worker pins (see header for the AVX2 story). A structural
+    # sharding bug (mis-partitioned mean, missing all-reduce) yields O(1)
+    # relative error on every leaf.
     def close(a, b, what):
-        leaves = jax.tree_util.tree_leaves_with_path(a)
-        scale = max(float(np.linalg.norm(np.asarray(l, np.float64)))
-                    for _, l in leaves)
-        for (pa, la), (_, lb) in zip(leaves,
+        for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
                                      jax.tree_util.tree_leaves_with_path(b)):
             la, lb = np.asarray(la, np.float64), np.asarray(lb, np.float64)
             if np.linalg.norm(la) < 1e-5 and np.linalg.norm(lb) < 1e-5:
                 # mathematically-zero gradient (e.g. a conv bias directly
                 # before instance norm): both sides are pure f32 noise
                 continue
-            err = np.linalg.norm(la - lb)
-            rel = err / (np.linalg.norm(la) + 1e-12)
-            # measured round 5: under the AVX2 ISA pin one decoder kernel
-            # leaf reads rel 2.4e-3 / abs 4.3e-4 of global scale, and the
-            # IDENTICAL comparison passes <1e-3 at AVX512 — pure codegen
-            # reduction-order noise, so sub-1e-3-of-scale absolute error is
-            # accepted; a structural sharding bug measures O(1) on both.
-            assert rel < 1e-3 or err < 1e-3 * scale, \
-                (f"{what}{jax.tree_util.keystr(pa)}: rel L2 {rel}, "
-                 f"abs L2 {err} vs global scale {scale}")
+            rel = (np.linalg.norm(la - lb) /
+                   (np.linalg.norm(la) + 1e-12))
+            assert rel < 1e-3, \
+                f"{what}{jax.tree_util.keystr(pa)}: rel L2 {rel}"
             peak = np.abs(la - lb).max()
             assert peak < 1e-2 * (np.abs(la).max() + 1e-12) + 1e-7, \
                 f"{what}{jax.tree_util.keystr(pa)}: peak {peak}"

@@ -458,6 +458,10 @@ def bench_sgv2_sean_frozen(on_tpu: bool, n_iters: int, n_reps: int = 3):
     for key_ in ("s_ref", "s_ref2", "s_src"):
         b[key_] = jax.random.normal(jax.random.PRNGKey(hash(key_) % 97),
                                     (batch, cfg.num_embeds, cfg.embed_nc))
+    # frozen params must ride as ARGUMENTS (inject_frozen): closed over,
+    # they inline as 344 MB of HLO constants and the tunnel's compile
+    # endpoint rejects the request (HTTP 413, measured round 5)
+    b = solver.inject_frozen(b)
     step = jax.jit(solver.train_step, donate_argnums=0)
     flops = _program_flops(solver.train_step, state, b, jax.random.PRNGKey(7))
     times = _time_reps(step, state, b, n_iters, n_reps)

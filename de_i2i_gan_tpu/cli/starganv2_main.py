@@ -302,7 +302,10 @@ def main(argv=None):
         mesh = mesh_from_flag(args.data_parallel, args.batch_size)
         if mesh is not None:
             print(f"data-parallel over {mesh.devices.size} devices")
-            step_fn = make_parallel_step(solver.train_step, mesh)
+            # frozen-ViT/FAN params ride as replicated jit args (never
+            # inlined constants, never batch-sharded)
+            step_fn = make_parallel_step(solver.train_step, mesh,
+                                         frozen=solver.frozen_args())
             state = put_replicated(state, mesh)
             data_sh = batch_sharding(mesh)
         else:
@@ -399,7 +402,8 @@ def main(argv=None):
         mesh = mesh_from_flag(args.data_parallel, args.batch_size)
         if mesh is not None:
             print(f"data-parallel over {mesh.devices.size} devices")
-            step_fn = make_parallel_step(solver.pretrain_step, mesh)
+            step_fn = make_parallel_step(solver.pretrain_step, mesh,
+                                         frozen=solver.frozen_args())
             state = put_replicated(state, mesh)
             data_sh = batch_sharding(mesh)
         else:

@@ -70,12 +70,30 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
 
 
 def make_parallel_step(step_fn, mesh: Mesh, donate_state: bool = True,
-                       batch_axis: int = 0):
+                       batch_axis: int = 0, frozen=None):
     """Wrap a (state, batch, rng) -> (state, metrics) step for the mesh:
     state/rng replicated, batch sharded on ``batch_axis``. GSPMD handles the
-    per-network gradient all-reduce over ICI."""
+    per-network gradient all-reduce over ICI.
+
+    ``frozen``: optional dict of REPLICATED extras merged into the batch
+    inside the jitted step (e.g. a StarGAN-v2 solver's frozen-ViT params,
+    solver.frozen_args()). They must ride as jit arguments — closed over,
+    an 86M-param pytree inlines as ~344 MB of HLO constants (measured
+    round 5) — and they must not take the batch sharding (they have no
+    batch axis)."""
     repl = replicate(mesh)
     data = batch_sharding(mesh, batch_axis)
+    if frozen:
+        def fn(state, batch, rng, fz):
+            return step_fn(state, {**batch, **fz}, rng)
+
+        jitted = jax.jit(
+            fn,
+            in_shardings=(repl, data, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate_state else (),
+        )
+        return lambda state, batch, rng: jitted(state, batch, rng, frozen)
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),

@@ -171,26 +171,60 @@ class StarGANv2Solver:
             import logging
             logging.getLogger(__name__).warning(msg)
 
-    def _embed_fake(self, x_fake):
-        """Frozen-ViT CLS embedding of x_fake, (N, 1, embed_nc)."""
-        params = jax.lax.stop_gradient(self._vit_vars)
+    def _embed_fake(self, x_fake, vit_vars=None):
+        """Frozen-ViT CLS embedding of x_fake, (N, 1, embed_nc).
+
+        ``vit_vars`` lets jitted callers pass the frozen parameters as a
+        REAL argument (see inject_frozen): a closed-over 86M-param pytree
+        gets inlined as HLO constants — 688 MB of StableHLO measured at
+        256^2 (vs 2.6 MB injected), which the dev tunnel's remote-compile
+        endpoint rejects outright (HTTP 413)."""
+        params = jax.lax.stop_gradient(
+            vit_vars if vit_vars is not None else self._vit_vars)
         return self._vit.apply(params, x_fake)[:, 0, :][:, None, :]
 
-    def _heatmaps_fake(self, x_fake):
+    def _heatmaps_fake(self, x_fake, fan_vars=None):
         """FAN get_heatmap(x_fake) in-graph (wing.py:248-261), no grads."""
         from de_i2i_gan_tpu.models.wing import preprocess_heatmaps
         x = jax.lax.stop_gradient(x_fake.astype(jnp.float32))
         n = x.shape[0]
         if x.shape[1] != 256:
             x = jax.image.resize(x, (n, 256, 256, 3), "bilinear")
-        out, _ = self.net_fan_apply(x * 0.5 + 0.5)
+        out, _ = self.net_fan_apply(x * 0.5 + 0.5, fan_vars)
         hm = out[..., :-1]
         hm = jax.image.resize(hm, (n, 256, 256, hm.shape[-1]), "bilinear")
         m1, m2 = preprocess_heatmaps(hm)
         return [jax.lax.stop_gradient(m1), jax.lax.stop_gradient(m2)]
 
-    def net_fan_apply(self, x01):
-        return self._fan.apply(self._fan_vars, x01)
+    def net_fan_apply(self, x01, fan_vars=None):
+        return self._fan.apply(
+            fan_vars if fan_vars is not None else self._fan_vars, x01)
+
+    def frozen_args(self):
+        """Frozen-net variables as a dict of extra jit arguments, or None.
+        DP callers pass this to make_parallel_step(frozen=...) so the
+        params are replicated over the mesh rather than batch-sharded."""
+        out = {}
+        if self._vit_vars is not None:
+            out["_frozen_vit"] = self._vit_vars
+        if self._fan_vars is not None:
+            out["_frozen_fan"] = self._fan_vars
+        return out or None
+
+    def inject_frozen(self, batch):
+        """Return ``batch`` with the frozen-net variables added as REAL jit
+        arguments (``_frozen_vit`` / ``_frozen_fan``). Every jitted caller
+        of train_step/pretrain_step must route batches through this (the
+        solver's own jit_* wrappers do) — otherwise the frozen params are
+        baked into the program as constants (688 MB StableHLO, measured)."""
+        if self._vit_vars is None and self._fan_vars is None:
+            return batch
+        out = dict(batch)
+        if self._vit_vars is not None:
+            out["_frozen_vit"] = self._vit_vars
+        if self._fan_vars is not None:
+            out["_frozen_fan"] = self._fan_vars
+        return out
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array) -> SolverState:
@@ -334,7 +368,8 @@ class StarGANv2Solver:
             # sean: embed x_fake through the frozen ViT in-graph, matching
             # s_pred = nets.feature_extractor(x_fake) (solver.py:515);
             # (N,1,embed_nc) broadcasts against s_trg (N,k,embed_nc)
-            loss_sty = l1(self._embed_fake(x_fake), s_trg)
+            loss_sty = l1(self._embed_fake(x_fake, batch.get("_frozen_vit")),
+                          s_trg)
         else:
             s_pred = batch.get("s_fake_pred")
             if s_pred is None:
@@ -359,7 +394,8 @@ class StarGANv2Solver:
         # cycle consistency (solver.py:529-533): the reference RECOMPUTES the
         # hpf masks from x_fake (masks = nets.fan.get_heatmap(x_fake))
         if cfg.w_hpf > 0 and self._fan is not None:
-            masks_fake = self._heatmaps_fake(x_fake)
+            masks_fake = self._heatmaps_fake(x_fake,
+                                             batch.get("_frozen_fan"))
         else:
             if cfg.w_hpf > 0 and masks is not None \
                     and "masks_fake" not in batch:
@@ -664,7 +700,8 @@ class StarGANv2Solver:
                                                 batch["z_ref"], y_org)
             loss_sty = l1(s_pred, s)
         elif self._vit is not None:
-            loss_sty = l1(self._embed_fake(x_fake), s)
+            loss_sty = l1(self._embed_fake(x_fake, batch.get("_frozen_vit")),
+                          s)
         else:
             s_pred = batch.get("s_fake_pred")
             loss_sty = l1(s_pred, s) if s_pred is not None else jnp.zeros(())
@@ -733,13 +770,25 @@ class StarGANv2Solver:
         ema_g = ema_update(state.ema_G, state.G.params, cfg.ema_beta)
         return state.replace(ema_G=ema_g, step=state.step + 1), metrics
 
+    def _jit_with_frozen(self, step_fn):
+        """jit a step and route batches through inject_frozen so frozen-net
+        params ride as arguments, not 344 MB of inlined HLO constants."""
+        jitted = jax.jit(step_fn, donate_argnums=0)
+        if self._vit_vars is None and self._fan_vars is None:
+            return jitted
+
+        def run(state, batch, rng):
+            return jitted(state, self.inject_frozen(batch), rng)
+
+        return run
+
     @functools.cached_property
     def jit_pretrain_step(self):
-        return jax.jit(self.pretrain_step, donate_argnums=0)
+        return self._jit_with_frozen(self.pretrain_step)
 
     @functools.cached_property
     def jit_train_step(self):
-        return jax.jit(self.train_step, donate_argnums=0)
+        return self._jit_with_frozen(self.train_step)
 
     @functools.cached_property
     def jit_generate(self):

@@ -117,3 +117,30 @@ def test_fused_prop_pair_step():
         new_state.D.params)[0])
     assert not np.allclose(g0, jax.tree_util.tree_leaves(
         new_state.G.params)[0])
+
+
+def test_frozen_vit_rides_as_argument_not_constant():
+    """jit-lowering the train step with inject_frozen must NOT inline the
+    frozen ViT parameters as HLO constants. Measured at 256^2/ViT-B: the
+    closed-over form lowers to 688 MB of StableHLO (the dev tunnel's
+    remote-compile endpoint rejects it, HTTP 413); injected, 2.6 MB. At
+    test scale the same mechanism shows as the closure text dwarfing the
+    injected text."""
+    solver = StarGANv2Solver(CFG)
+    vit, variables = _tiny_vit()
+    solver.set_frozen_nets(vit_variables=variables, vit_encoder=vit)
+    state = jax.eval_shape(lambda: solver.init_state(jax.random.PRNGKey(0)))
+    batch = _sean_batch()
+
+    injected = jax.jit(solver.train_step).lower(
+        state, solver.inject_frozen(batch), jax.random.PRNGKey(2)).as_text()
+    closured = jax.jit(solver.train_step).lower(
+        state, batch, jax.random.PRNGKey(2)).as_text()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables))
+    # the closure form embeds every param value as text; injected must not
+    assert len(closured) - len(injected) > 2 * n_params, (
+        len(injected), len(closured), n_params)
+    # and the injected program must still wire the sty loss (smoke: jit runs)
+    st = solver.init_state(jax.random.PRNGKey(0))
+    _, m = solver.jit_train_step(st, batch, jax.random.PRNGKey(2))
+    assert float(m["G/ref_sty"]) > 0.0
